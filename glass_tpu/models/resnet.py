@@ -1,0 +1,112 @@
+"""ResNet-50 backbone (detectron2-compatible parameter layout).
+
+Re-implements the inherited backbone the reference selects via
+``MODEL.BACKBONE.NAME: build_resnet_fpn_backbone`` with
+``MODEL.RESNETS.{DEPTH:50, RES2_OUT_CHANNELS:256, STEM_OUT_CHANNELS:64}``
+(reference ``configs/glass_pretrain.yaml:41-54``).
+
+Parameter tree mirrors detectron2 checkpoint names::
+
+    stem.conv1.{weight, norm.{weight,bias,running_mean,running_var}}
+    res2.{0..2}.{conv1,conv2,conv3,shortcut}.{weight, norm.*}
+    ...
+
+so released ``.pth`` weights map over 1:1 (see train/checkpoint.py).
+Activations NHWC, compute dtype of the caller's input.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from .context import Ctx, conv_norm
+
+# (num_blocks, bottleneck_channels, out_channels, stride) per stage for R-50
+RESNET50_STAGES = [
+    ("res2", 3, 64, 256, 1),
+    ("res3", 4, 128, 512, 2),
+    ("res4", 6, 256, 1024, 2),
+    ("res5", 3, 512, 2048, 2),
+]
+
+STAGE_STRIDES = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
+STAGE_CHANNELS = {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
+
+
+def bottleneck_block(
+    ctx: Ctx,
+    x: jnp.ndarray,
+    params: dict,
+    path: str,
+    stride: int,
+    stride_in_1x1: bool = True,
+) -> jnp.ndarray:
+    s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
+    out = conv_norm(ctx, x, params["conv1"], f"{path}.conv1", stride=s1, relu=True)
+    out = conv_norm(ctx, out, params["conv2"], f"{path}.conv2", stride=s3, padding=1, relu=True)
+    out = conv_norm(ctx, out, params["conv3"], f"{path}.conv3")
+    if "shortcut" in params:
+        shortcut = conv_norm(ctx, x, params["shortcut"], f"{path}.shortcut", stride=stride)
+    else:
+        shortcut = x
+    return jnp.maximum(out + shortcut, 0)
+
+
+def resnet50_apply(
+    ctx: Ctx,
+    params: dict,
+    x: jnp.ndarray,
+    out_features: List[str] = ("res2", "res3", "res4", "res5"),
+    path: str = "backbone.bottom_up",
+) -> Dict[str, jnp.ndarray]:
+    """x: (N, H, W, 3) normalized image -> dict of stage features."""
+    out = conv_norm(
+        ctx, x, params["stem"]["conv1"], f"{path}.stem.conv1", stride=2, padding=3, relu=True
+    )
+    out = L.max_pool2d(out, 3, 2, 1)
+
+    feats = {}
+    for name, n_blocks, _, _, stride in RESNET50_STAGES:
+        stage = params[name]
+        for i in range(n_blocks):
+            out = bottleneck_block(
+                ctx, out, stage[str(i)], f"{path}.{name}.{i}", stride if i == 0 else 1
+            )
+        if name in out_features:
+            feats[name] = out
+    return feats
+
+
+def init_resnet50(key, norm: str = "BN") -> dict:
+    """Random init matching detectron2's scheme (MSRA fill on convs)."""
+    keys = jax.random.split(key, 64)
+    ki = iter(range(64))
+
+    def conv(kh, kw, cin, cout):
+        p = {"weight": L.c2_msra_fill(keys[next(ki)], (kh, kw, cin, cout))}
+        if norm:
+            p["norm"] = L.init_bn(cout)
+        else:
+            p["bias"] = jnp.zeros((cout,), jnp.float32)
+        return p
+
+    params = {"stem": {"conv1": conv(7, 7, 3, 64)}}
+    in_ch = 64
+    for name, n_blocks, bottleneck, out_ch, _ in RESNET50_STAGES:
+        stage = {}
+        for i in range(n_blocks):
+            block = {
+                "conv1": conv(1, 1, in_ch if i == 0 else out_ch, bottleneck),
+                "conv2": conv(3, 3, bottleneck, bottleneck),
+                "conv3": conv(1, 1, bottleneck, out_ch),
+            }
+            if i == 0:
+                block["shortcut"] = conv(1, 1, in_ch, out_ch)
+            stage[str(i)] = block
+        params[name] = stage
+        in_ch = out_ch
+    return params

@@ -1,0 +1,92 @@
+"""Rotated non-maximum suppression with static shapes.
+
+Replaces detectron2's ``nms_rotated`` / ``batched_nms_rotated`` CUDA kernels
+(reference call sites: ``rotated_fast_rcnn.py:131``,
+``post_processor_rotated_boxes.py:181``, RPN proposal selection).
+
+TPU-native formulation: sort by score, precompute the NxN rotated IoU matrix,
+then run the exact greedy suppression as a ``fori_loop`` over score rank.
+Invalid (padding) entries are fed in with score ``-inf`` and are never kept.
+Outputs are a fixed-size keep mask rather than a dynamic index list.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .iou_rotated import pairwise_iou_rotated
+
+NEG_INF = -1e30
+
+
+@partial(jax.jit, static_argnames=("max_keep",))
+def nms_rotated_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+    max_keep: int | None = None,
+) -> jnp.ndarray:
+    """Exact greedy rotated NMS.
+
+    Args:
+        boxes: (N, 5) XYWHA boxes (padding rows arbitrary).
+        scores: (N,) scores; padding rows should be very negative or masked
+            out via ``valid``.
+        iou_threshold: suppress boxes with IoU > threshold w.r.t. a kept,
+            higher-scoring box.
+        valid: optional (N,) bool mask of real entries.
+        max_keep: optionally keep only the top-k survivors (by score).
+
+    Returns:
+        (N,) bool keep mask aligned with the *input* order.
+    """
+    n = boxes.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes[order]
+    sorted_valid = scores[order] > NEG_INF / 2
+
+    iou = pairwise_iou_rotated(sorted_boxes, sorted_boxes)
+    rank = jnp.arange(n)
+
+    def body(i, suppressed):
+        keep_i = (~suppressed[i]) & sorted_valid[i]
+        newly = keep_i & (iou[i] > iou_threshold) & (rank > i)
+        return suppressed | newly
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
+    keep_sorted = (~suppressed) & sorted_valid
+
+    if max_keep is not None:
+        kept_rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
+        keep_sorted = keep_sorted & (kept_rank < max_keep)
+
+    # Scatter back to input order.
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+@partial(jax.jit, static_argnames=("max_keep",))
+def batched_nms_rotated_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+    max_keep: int | None = None,
+) -> jnp.ndarray:
+    """Category-aware rotated NMS (detectron2 ``batched_nms_rotated``).
+
+    Boxes of different ``idxs`` never suppress each other.  Implemented with
+    the same coordinate-offset trick as the reference dependency: shift each
+    category to a disjoint region of the plane before a single NMS pass.
+    """
+    max_coord = jnp.max(jnp.abs(boxes[:, :2])) + jnp.max(boxes[:, 2:4]) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes.at[:, 0].add(offsets)
+    return nms_rotated_mask(shifted, scores, iou_threshold, valid=valid, max_keep=max_keep)
