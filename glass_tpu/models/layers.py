@@ -90,13 +90,19 @@ def conv_transpose2d(
     bias: Optional[jnp.ndarray] = None,
     stride: int = 2,
 ) -> jnp.ndarray:
-    """NHWC transposed conv, weight HWIO (I = input ch of the deconv)."""
+    """NHWC transposed conv matching torch ``ConvTranspose2d`` semantics.
+
+    ``weight`` is HWIO in the layout of the forward conv whose gradient this
+    computes: I = the deconv's *output* channels (convert torch's
+    (in, out, kh, kw) via ``transpose(2, 3, 1, 0)``).
+    """
     out = jax.lax.conv_transpose(
         x,
         weight.astype(x.dtype),
         strides=(stride, stride),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -43,7 +43,7 @@ def test_conv_transpose_matches_torch(rng):
         torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w), stride=2
     ).permute(0, 2, 3, 1).numpy()
     got = np.asarray(
-        L.conv_transpose2d(jnp.asarray(x), jnp.asarray(w.transpose(2, 3, 0, 1)), stride=2)
+        L.conv_transpose2d(jnp.asarray(x), jnp.asarray(w.transpose(2, 3, 1, 0)), stride=2)
     )
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
@@ -58,8 +58,8 @@ def test_batch_norm_eval_matches_torch(rng):
         bn.bias.copy_(torch.from_numpy(rng.randn(7).astype(np.float32)))
         ref = bn(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     params = {
-        "weight": jnp.asarray(bn.weight.numpy()),
-        "bias": jnp.asarray(bn.bias.numpy()),
+        "weight": jnp.asarray(bn.weight.detach().numpy()),
+        "bias": jnp.asarray(bn.bias.detach().numpy()),
         "running_mean": jnp.asarray(bn.running_mean.numpy()),
         "running_var": jnp.asarray(bn.running_var.numpy()),
     }
