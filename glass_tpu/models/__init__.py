@@ -1,0 +1,7 @@
+from .context import Ctx
+from .glass_rcnn import (
+    GlassArch,
+    init_glass_params,
+    glass_inference_single,
+    make_inference_fn,
+)

@@ -1,0 +1,426 @@
+"""GLASS R-CNN meta-architecture: the full image -> words path, one jit.
+
+TPU-native re-design of the reference inference stack
+(``GlassRCNN.inference``, reference ``glass/modeling/meta_arch/
+glass_rcnn.py:57-101`` + ``MaskRotatedRecognizerHybridHead.forward``/
+``forward_with_given_boxes``, ``recognizers_hybrid_head.py:136-181,571-609``):
+
+    normalize -> ResNet50+FPN -> rotated RPN -> box head (+orientation)
+    -> rotated NMS -> [P2P3 fusion + pooled global | raw-image crop ->
+    local CNN] -> channel concat -> GCAttention -> CNN_V1_1 -> BiLSTM
+    -> ASTER greedy decode  (+ optional mask head)
+
+Everything runs under a single ``jax.jit`` per padded image bucket: the
+dynamic collections of the reference (proposal lists, per-image detection
+counts, word batches) are fixed-capacity padded arrays with validity masks.
+The actual (unpadded) image extent is a dynamic argument used for clipping
+and for masking anchors that the reference (which pads only to stride
+divisibility) would never generate.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .context import Ctx
+from . import layers as L
+from .resnet import resnet50_apply, init_resnet50
+from .fpn import fpn_apply, init_fpn, FPN_LEVEL_STRIDES
+from . import rpn as rpn_mod
+from . import box_head as bh
+from .box_head import Detections
+from .fusion import (
+    p2p3_fusion_apply,
+    gc_attention_apply,
+    init_p2p3_fusion,
+    init_gc_attention,
+)
+from .local_extractor import local_extractor_apply, init_local_extractor
+from .mask_head import mask_head_apply, mask_inference_probs, init_mask_head
+from .recognizer import (
+    recognizer_layers_apply,
+    aster_decode_greedy,
+    init_recognizer,
+)
+from ..ops.boxes import apply_deltas, clip_rotated_boxes
+from ..ops.roi_align_rotated import roi_align_rotated, assign_boxes_to_levels
+
+
+@dataclass(frozen=True)
+class GlassArch:
+    """Static architecture hyperparameters (derived from a CfgNode)."""
+
+    pixel_mean: Tuple[float, ...] = (103.53, 116.28, 123.675)
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    # RPN
+    anchor_sizes: Tuple[Tuple[float, ...], ...] = ((16,), (32,), (64,), (128,), (256,))
+    anchor_aspects: Tuple[float, ...] = (0.2, 0.5, 1.0)
+    anchor_angles: Tuple[float, ...] = (-90, -45, 0, 45)
+    anchor_offset: float = 0.0
+    rpn_in_features: Tuple[str, ...] = ("p2", "p3", "p4", "p5", "p6")
+    rpn_bbox_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 2.0)
+    rpn_pre_nms_topk: int = 1000
+    rpn_post_nms_topk: int = 100
+    rpn_nms_thresh: float = 0.7
+    # Box head
+    box_in_features: Tuple[str, ...] = ("p2", "p3", "p4", "p5", "p6")
+    box_pooler_resolution: int = 7
+    box_pooler_sampling_ratio: int = 2
+    box_bbox_weights: Tuple[float, ...] = (10.0, 10.0, 5.0, 5.0, 10.0)
+    box_fc_dim: int = 2048
+    num_classes: int = 1
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.35
+    detections_per_image: int = 100
+    orientation_on: bool = True
+    apply_orientation_to_boxes: bool = True
+    # Recognizer
+    recognizer_on: bool = True
+    recognizer_in_features: Tuple[str, ...] = ("p2", "p3")
+    recognizer_pool_hw: Tuple[int, int] = (8, 32)
+    img_crop_hw: Tuple[int, int] = (128, 128)
+    img_crop_sampling_ratio: int = 2
+    max_word_len: int = 25
+    vocab_size: int = 97
+    gc_headers: int = 8
+    # Mask
+    mask_on: bool = True
+    mask_inference: bool = False
+    mask_pooler_resolution: int = 14
+    mask_num_conv: int = 4
+    # Execution
+    compute_dtype: str = "float32"
+
+    @classmethod
+    def from_config(cls, cfg) -> "GlassArch":
+        rec = cfg.MODEL.ROI_RECOGNIZER_HEAD
+        return cls(
+            pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+            pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            anchor_sizes=tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES),
+            anchor_aspects=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+            anchor_angles=tuple(cfg.MODEL.ANCHOR_GENERATOR.ANGLES[0]),
+            anchor_offset=cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+            rpn_in_features=tuple(cfg.MODEL.RPN.IN_FEATURES),
+            rpn_bbox_weights=tuple(cfg.MODEL.RPN.BBOX_REG_WEIGHTS),
+            rpn_pre_nms_topk=cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
+            rpn_post_nms_topk=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+            rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+            box_in_features=tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES),
+            box_pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            box_pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            box_bbox_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+            box_fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+            nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+            detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            orientation_on=cfg.MODEL.ORIENTATION_ON,
+            apply_orientation_to_boxes=cfg.MODEL.ROI_ORIENTATION_HEAD.APPLY_TO_BOXES,
+            recognizer_on=cfg.MODEL.RECOGNIZER_ON,
+            recognizer_in_features=tuple(rec.IN_FEATURES),
+            recognizer_pool_hw=(rec.POOLER_RESOLUTION_HEIGHT, rec.POOLER_RESOLUTION_WIDTH),
+            img_crop_hw=(rec.POOLER_RESOLUTION_HEIGHT * 16, rec.POOLER_RESOLUTION_WIDTH * 4),
+            img_crop_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            max_word_len=rec.MAX_WORD_LENGTH,
+            vocab_size=len(rec.CHARACTER_SET) + 2,
+            gc_headers=cfg.MODEL.HYBRID_FUSION.HEADERS,
+            mask_on=cfg.MODEL.MASK_ON,
+            mask_inference=cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE,
+            mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+            mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+            compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        )
+
+
+def init_glass_params(key, arch: GlassArch) -> dict:
+    """Random-init the full parameter tree (d2-compatible layout)."""
+    ks = jax.random.split(key, 12)
+    num_anchors = len(arch.anchor_aspects) * len(arch.anchor_angles) * len(arch.anchor_sizes[0])
+    pooled_feat = 256 * arch.box_pooler_resolution**2
+    params = {
+        "backbone": {
+            "bottom_up": init_resnet50(ks[0]),
+            **init_fpn(ks[1]),
+        },
+        "proposal_generator": {
+            "rpn_head": rpn_mod.init_rpn_head(ks[2], 256, num_anchors)
+        },
+        "roi_heads": {
+            "box_head": bh.init_box_head(ks[3], pooled_feat, arch.box_fc_dim),
+            "box_predictor": bh.init_box_predictor(
+                ks[4], arch.box_fc_dim, arch.num_classes, arch.orientation_on
+            ),
+        },
+    }
+    if arch.recognizer_on:
+        params["roi_heads"]["recognizer_feature_fusion"] = init_p2p3_fusion(ks[5])
+        params["roi_heads"]["hybrid_net"] = {"ConvNet": init_local_extractor(ks[6])}
+        params["roi_heads"]["fusion_net"] = init_gc_attention(
+            ks[7], inplanes=512, headers=arch.gc_headers
+        )
+        params["roi_heads"]["recognizer_head"] = init_recognizer(
+            ks[8], channels=256, vocab=arch.vocab_size
+        )
+    if arch.mask_on:
+        params["roi_heads"]["mask_head"] = init_mask_head(
+            ks[9], num_conv=arch.mask_num_conv, num_classes=arch.num_classes
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+
+def preprocess(arch: GlassArch, image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) raw (BGR, 0-255) -> normalized, cast to compute dtype."""
+    mean = jnp.asarray(arch.pixel_mean, jnp.float32)
+    std = jnp.asarray(arch.pixel_std, jnp.float32)
+    out = (image.astype(jnp.float32) - mean) / std
+    return out.astype(arch.compute_dtype)
+
+
+def backbone_features(
+    ctx: Ctx, arch: GlassArch, params: dict, images: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """images (N, H, W, 3) normalized -> {p2..p6} NHWC."""
+    bu = resnet50_apply(ctx, params["backbone"]["bottom_up"], images)
+    return fpn_apply(ctx, params["backbone"], bu)
+
+
+def rpn_proposals_single(
+    ctx: Ctx,
+    arch: GlassArch,
+    params: dict,
+    feats: Dict[str, jnp.ndarray],
+    content_hw: jnp.ndarray,
+    train: bool = False,
+):
+    """Single-image (leading dim 1 features) proposal generation.
+
+    content_hw: (2,) dynamic actual image extent (pre-padding).
+    Returns (boxes (P,5), scores (P,), valid (P,)).
+    """
+    features = [feats[f] for f in arch.rpn_in_features]
+    logits, deltas = rpn_mod.rpn_head_apply(
+        ctx, params["proposal_generator"]["rpn_head"], features
+    )
+    cell = rpn_mod.generate_cell_anchors(
+        arch.anchor_sizes[0], arch.anchor_aspects, arch.anchor_angles
+    )
+    anchors, masked_logits = [], []
+    # The reference pads only to stride divisibility; mask anchors whose
+    # centers fall outside that extent so bucket padding cannot add
+    # proposals the reference would never see.
+    max_h = jnp.ceil(content_hw[0] / 32.0) * 32.0
+    max_w = jnp.ceil(content_hw[1] / 32.0) * 32.0
+    for i, fname in enumerate(arch.rpn_in_features):
+        stride = FPN_LEVEL_STRIDES[fname]
+        h, w = features[i].shape[1], features[i].shape[2]
+        cell_l = rpn_mod.generate_cell_anchors(
+            arch.anchor_sizes[i], arch.anchor_aspects, arch.anchor_angles
+        )
+        anc = rpn_mod.generate_anchors_for_level(h, w, stride, cell_l, arch.anchor_offset)
+        anc = jnp.asarray(anc)
+        inside = (anc[:, 0] < max_w) & (anc[:, 1] < max_h)
+        anchors.append(anc)
+        lg = logits[i][0].astype(jnp.float32)
+        masked_logits.append(jnp.where(inside, lg, rpn_mod.NEG_INF))
+
+    pre = arch.rpn_pre_nms_topk
+    post = arch.rpn_post_nms_topk
+    return rpn_mod.select_proposals_single_image(
+        masked_logits,
+        [d[0].astype(jnp.float32) for d in deltas],
+        anchors,
+        (content_hw[0], content_hw[1]),
+        arch.rpn_bbox_weights,
+        pre,
+        post,
+        arch.rpn_nms_thresh,
+    )
+
+
+def _multilevel_pool(
+    arch: GlassArch,
+    feats: Dict[str, jnp.ndarray],
+    in_features: Tuple[str, ...],
+    rois: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    sampling_ratio: int,
+) -> jnp.ndarray:
+    """detectron2 multi-level ROIPooler over single-image features."""
+    levels = [FPN_LEVEL_STRIDES[f] for f in in_features]
+    min_level = int(math.log2(levels[0]))
+    max_level = int(math.log2(levels[-1]))
+    assignment = assign_boxes_to_levels(rois, min_level, max_level)
+    pooled = []
+    for f, stride in zip(in_features, levels):
+        pooled.append(
+            roi_align_rotated(
+                feats[f][0],
+                rois,
+                out_hw,
+                spatial_scale=1.0 / stride,
+                sampling_ratio=sampling_ratio,
+            )
+        )
+    stacked = jnp.stack(pooled, 0)
+    return jnp.take_along_axis(stacked, assignment[None, :, None, None, None], axis=0)[0]
+
+
+def box_head_predictions(
+    ctx: Ctx,
+    arch: GlassArch,
+    params: dict,
+    feats: Dict[str, jnp.ndarray],
+    proposals: jnp.ndarray,
+):
+    pooled = _multilevel_pool(
+        arch,
+        feats,
+        arch.box_in_features,
+        proposals,
+        (arch.box_pooler_resolution, arch.box_pooler_resolution),
+        arch.box_pooler_sampling_ratio,
+    )
+    x = bh.box_head_apply(ctx, params["roi_heads"]["box_head"], pooled)
+    return bh.box_predictor_apply(
+        ctx, params["roi_heads"]["box_predictor"], x.astype(jnp.float32), arch.orientation_on
+    )
+
+
+def detect_single_image(
+    ctx: Ctx,
+    arch: GlassArch,
+    params: dict,
+    feats: Dict[str, jnp.ndarray],
+    content_hw: jnp.ndarray,
+) -> Detections:
+    """RPN + box head + NMS for one (padded) image."""
+    prop_boxes, prop_scores, prop_valid = rpn_proposals_single(
+        ctx, arch, params, feats, content_hw
+    )
+    scores, deltas, orient = box_head_predictions(ctx, arch, params, feats, prop_boxes)
+    probs = jax.nn.softmax(scores, axis=-1)
+    boxes = apply_deltas(deltas, prop_boxes, arch.box_bbox_weights)
+    return bh.fast_rcnn_inference_single_image(
+        boxes,
+        probs,
+        orient,
+        prop_valid,
+        (content_hw[0], content_hw[1]),
+        arch.score_thresh,
+        arch.nms_thresh,
+        arch.detections_per_image,
+        arch.apply_orientation_to_boxes and arch.orientation_on,
+    )
+
+
+def recognize_single_image(
+    ctx: Ctx,
+    arch: GlassArch,
+    params: dict,
+    feats: Dict[str, jnp.ndarray],
+    norm_image: jnp.ndarray,
+    boxes: jnp.ndarray,
+) -> jnp.ndarray:
+    """The GLASS fusion hot path (reference call stack 3.4).
+
+    norm_image: (H, W, 3) normalized padded image; boxes (D, 5).
+    Returns (D, max_word_len + 1, V) per-step char probabilities.
+    """
+    rh = params["roi_heads"]
+    p2, p3 = feats["p2"], feats["p3"]
+    fused = p2p3_fusion_apply(ctx, rh["recognizer_feature_fusion"], p2, p3)[0]
+
+    pool_hw = arch.recognizer_pool_hw
+    global_feats = roi_align_rotated(
+        fused, boxes, pool_hw, spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
+        sampling_ratio=0,
+    )
+    crops = roi_align_rotated(
+        norm_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
+        sampling_ratio=arch.img_crop_sampling_ratio,
+    )
+    local_feats = local_extractor_apply(ctx, rh["hybrid_net"]["ConvNet"], crops)
+    x = jnp.concatenate([local_feats, global_feats], axis=-1)
+    x = gc_attention_apply(ctx, rh["fusion_net"], x, arch.gc_headers)
+    enc = recognizer_layers_apply(ctx, rh["recognizer_head"], x)
+    return aster_decode_greedy(
+        rh["recognizer_head"]["decoder"], enc.astype(jnp.float32), arch.max_word_len + 1
+    )
+
+
+def mask_single_image(
+    ctx: Ctx,
+    arch: GlassArch,
+    params: dict,
+    feats: Dict[str, jnp.ndarray],
+    boxes: jnp.ndarray,
+    classes: jnp.ndarray,
+) -> jnp.ndarray:
+    pooled = _multilevel_pool(
+        arch,
+        feats,
+        arch.box_in_features,
+        boxes,
+        (arch.mask_pooler_resolution, arch.mask_pooler_resolution),
+        0,
+    )
+    logits = mask_head_apply(
+        ctx, params["roi_heads"]["mask_head"], pooled, arch.mask_num_conv
+    )
+    return mask_inference_probs(logits.astype(jnp.float32), classes)
+
+
+def glass_inference_single(
+    arch: GlassArch,
+    params: dict,
+    image: jnp.ndarray,
+    content_hw: jnp.ndarray,
+) -> dict:
+    """Full single-image inference (jit this, static over padded shape).
+
+    Args:
+        image: (H_pad, W_pad, 3) raw BGR float image (content top-left).
+        content_hw: (2,) int32 actual content extent.
+
+    Returns dict with fixed-shape fields:
+        boxes (D,5), scores (D,), orientations (D,2), valid (D,),
+        text_probs (D, T, V), mask_probs (D, 28, 28) [if mask_inference].
+    """
+    ctx = Ctx(train=False)
+    norm = preprocess(arch, image)
+    feats = backbone_features(ctx, arch, params, norm[None])
+    det = detect_single_image(ctx, arch, params, feats, content_hw)
+    out = {
+        "boxes": det.boxes,
+        "scores": det.scores,
+        "classes": det.classes,
+        "orientations": det.orientations,
+        "valid": det.valid,
+    }
+    if arch.recognizer_on:
+        out["text_probs"] = recognize_single_image(
+            ctx, arch, params, feats, norm, det.boxes
+        )
+    if arch.mask_on and arch.mask_inference:
+        out["mask_probs"] = mask_single_image(
+            ctx, arch, params, feats, det.boxes, det.classes
+        )
+    return out
+
+
+def make_inference_fn(arch: GlassArch):
+    """Returns jit-compiled single-image inference (donated image buffer)."""
+    return jax.jit(partial(glass_inference_single, arch))

@@ -1,0 +1,45 @@
+"""End-to-end smoke tests of the jitted inference graph (tiny shapes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from glass_tpu.models import GlassArch, init_glass_params, glass_inference_single
+
+
+@pytest.fixture(scope="module")
+def tiny_arch():
+    return GlassArch(
+        rpn_pre_nms_topk=64,
+        rpn_post_nms_topk=16,
+        detections_per_image=8,
+        max_word_len=5,
+        mask_inference=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_params(tiny_arch):
+    return init_glass_params(jax.random.PRNGKey(0), tiny_arch)
+
+
+def test_inference_shapes(tiny_arch, tiny_params):
+    img = jnp.asarray(np.random.RandomState(0).rand(128, 160, 3) * 255, jnp.float32)
+    out = glass_inference_single(
+        tiny_arch, tiny_params, img, jnp.array([120, 150], jnp.int32)
+    )
+    assert out["boxes"].shape == (8, 5)
+    assert out["scores"].shape == (8,)
+    assert out["valid"].shape == (8,)
+    assert out["text_probs"].shape == (8, 6, 97)
+    assert out["mask_probs"].shape == (8, 28, 28)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_inference_jits(tiny_arch, tiny_params):
+    fn = jax.jit(lambda p, i, hw: glass_inference_single(tiny_arch, p, i, hw))
+    img = jnp.zeros((128, 160, 3), jnp.float32)
+    out = fn(tiny_params, img, jnp.array([128, 160], jnp.int32))
+    assert out["boxes"].shape == (8, 5)
