@@ -1,0 +1,147 @@
+"""Checkpointing: Orbax-native save/load plus a torch ``.pth`` converter.
+
+The reference family distributes trained weights as detectron2
+``DetectionCheckpointer`` torch pickles (reference ``README.md:72-74``,
+``glass_runner.py:59-60``).  ``convert_torch_state_dict`` maps those flat
+``module.sub.weight`` names onto this framework's nested-pytree layout:
+
+* conv weights   OIHW -> HWIO,
+* deconv weights (in,out,kh,kw) -> HWIO (gradient layout, see layers.py),
+* linear weights keep the torch (out, in) layout,
+* LSTM/GRU weights keep the torch gate-packed layout,
+* BN running stats map verbatim.
+
+Because the param tree deliberately mirrors the torch module paths, the
+mapping is mechanical: only a few structural renames are needed.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _set_path(tree: dict, path: list, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_torch_state_dict(state: Dict[str, "np.ndarray"]) -> dict:
+    """Flat torch state-dict (numpy values) -> nested jax pytree."""
+    tree: dict = {}
+    for name, value in state.items():
+        v = np.asarray(value)
+        parts = name.split(".")
+        leaf = parts[-1]
+        module = parts[-2] if len(parts) >= 2 else ""
+
+        if leaf == "num_batches_tracked" or module == "temperature" or leaf == "temperature":
+            continue
+        if leaf == "order":  # GCAttention channel-interleave buffer (constant)
+            continue
+
+        # Conv OIHW -> HWIO; torch deconv (in,out,kh,kw) -> HW(I=out)(O=in):
+        # the same transpose serves both (see layers.conv_transpose2d).
+        if leaf == "weight" and v.ndim == 4:
+            v = v.transpose(2, 3, 1, 0)
+
+        # GC attention channel_add_conv 1x1 convs: store as linear (out, in).
+        if len(parts) >= 3 and parts[-3] == "channel_add_conv" and leaf == "weight" and v.ndim == 4:
+            # was transposed above to HWIO (1,1,I,O); bring back to (O, I)
+            v = v[0, 0].T
+
+        # LSTM direction split: weight_ih_l0 / weight_ih_l0_reverse -> fwd/bwd.
+        m = re.match(r"(weight|bias)_(ih|hh)_l0(_reverse)?$", leaf)
+        if m and "rnn" in parts:
+            direction = "bwd" if m.group(3) else "fwd"
+            path = parts[:-1] + [direction, f"{m.group(1)}_{m.group(2)}"]
+            _set_path(tree, path, jnp.asarray(v))
+            continue
+        # GRU inside the ASTER decoder (single direction).
+        if m and "gru" in parts:
+            path = parts[:-1] + [f"{m.group(1)}_{m.group(2)}"]
+            _set_path(tree, path, jnp.asarray(v))
+            continue
+
+        _set_path(tree, parts, jnp.asarray(v))
+    return tree
+
+
+def _walk_rename(tree):
+    """Post-structural fixups mapping d2 module names to our layout."""
+    # d2 names recognizer decoder as `decoder.recognizer.decoder.*`
+    # (ASTER_V2 -> AttentionRecognitionHead -> DecoderUnit); flatten it.
+    def fix_recognizer_head(rh):
+        dec = rh.get("decoder")
+        if isinstance(dec, dict) and "recognizer" in dec:
+            inner = dec["recognizer"]["decoder"]
+            rh["decoder"] = inner
+        enc = rh.get("encoder")
+        if isinstance(enc, dict) and "bilsm_stack" in enc:
+            rh["encoder"] = enc["bilsm_stack"]
+        return rh
+
+    roi = tree.get("roi_heads", {})
+    if "recognizer_head" in roi:
+        roi["recognizer_head"] = fix_recognizer_head(roi["recognizer_head"])
+    return tree
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a detectron2 ``.pth``/``.pkl`` checkpoint into a jax pytree."""
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        state = data.get("model", data)
+        state = {k: np.asarray(v) for k, v in state.items() if isinstance(v, np.ndarray)}
+    else:
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        state = data.get("model", data)
+        state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in state.items()}
+    tree = convert_torch_state_dict(state)
+    return _walk_rename(tree)
+
+
+# ---------------------------------------------------------------------------
+# Orbax-native checkpointing
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(directory: str, step: int, params: dict, opt_state=None, extra=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"ckpt_{step:07d}"))
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    if extra is not None:
+        payload["extra"] = extra
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+    with open(os.path.join(directory, "last_checkpoint"), "w") as f:
+        f.write(os.path.basename(path))
+    return path
+
+
+def load_checkpoint(directory: str, step: int | None = None):
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        with open(os.path.join(directory, "last_checkpoint")) as f:
+            name = f.read().strip()
+        path = os.path.join(directory, name)
+    else:
+        path = os.path.join(directory, f"ckpt_{step:07d}")
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
