@@ -1,0 +1,180 @@
+"""Single-image inference API — the ``GlassRunner`` equivalent.
+
+Mirrors reference ``glass/inference/glass_runner.py:20-153``: build model
+from YAML config + checkpoint, resize the input by the demo scale-ratio rule
+(max-side cap / min-side upscale bounded by ``MAX_UPSCALE_RATIO``), run the
+jitted detector+recognizer, rescale predictions back, post-process.
+
+TPU-native additions: images are padded into a small set of static
+resolution buckets so each bucket compiles exactly once; all model work is
+one ``jax.jit`` call per image.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from ..config import CfgNode, get_cfg
+from ..models import GlassArch, init_glass_params, glass_inference_single
+from ..postprocess import build_post_processor, detector_postprocess
+from ..postprocess.post_processor import scale_rotated_np
+from ..structures import Instances
+from ..text import TextCodec
+from ..utils.common import rgb2grey
+
+logger = logging.getLogger(__name__)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class GlassRunner:
+    def __init__(
+        self,
+        model_path: Optional[str],
+        config_path: Optional[str] = None,
+        opts: Optional[List[str]] = None,
+        post_process: bool = True,
+        cfg: Optional[CfgNode] = None,
+        params: Optional[dict] = None,
+    ):
+        self.cfg = cfg if cfg is not None else get_cfg(config_path, opts)
+        self.post_process_flag = post_process
+        self.arch = GlassArch.from_config(self.cfg)
+
+        if params is not None:
+            self.params = params
+        elif model_path:
+            from ..train.checkpoint import load_torch_checkpoint
+
+            logger.info("Loading checkpoint %s", model_path)
+            self.params = load_torch_checkpoint(model_path)
+        else:
+            logger.warning("No checkpoint given; random-initializing weights")
+            self.params = init_glass_params(jax.random.PRNGKey(0), self.arch)
+
+        self.min_target_size = self.cfg.INPUT.MIN_SIZE_TEST
+        self.max_target_size = self.cfg.INPUT.MAX_SIZE_TEST
+        self.max_upscale_ratio = self.cfg.INPUT.MAX_UPSCALE_RATIO
+        self.input_format = self.cfg.INPUT.FORMAT
+        assert self.input_format in ("RGB", "BGR", "GREY")
+
+        self.codec = TextCodec.from_config(self.cfg)
+        self.post_processor = build_post_processor(self.cfg)
+        self.pad_multiple = self.cfg.TPU.PAD_IMAGE_TO_MULTIPLE
+        self.buckets = [tuple(b) for b in self.cfg.TPU.IMAGE_BUCKETS]
+
+        self._jit_fn = jax.jit(
+            lambda p, img, hw: glass_inference_single(self.arch, p, img, hw)
+        )
+        # GlassRCNN._postprocess knobs (reference glass_rcnn.py:35-55).
+        pp = self.cfg.POST_PROCESSING
+        self.filter_small_boxes = pp.MIN_BOX_DIMENSION
+        self.inflate_ratio = pp.INFLATE_RATIO
+        self.drop_overlapping = pp.DROP_OVERLAPPING
+        self.ioa_threshold = pp.IOA_THRESHOLD
+        self.valid_score = self.cfg.INFERENCE_TH_TEST
+
+    # -- geometry ---------------------------------------------------------
+    def get_inference_scale_ratio(self, image_shape) -> float:
+        """Reference glass_runner.py:111-121."""
+        height, width = image_shape[:2]
+        max_dim = max(height, width)
+        if max_dim > self.max_target_size:
+            return self.max_target_size / max_dim
+        if max_dim < self.min_target_size:
+            return min(self.max_upscale_ratio, self.min_target_size / max_dim)
+        return 1.0
+
+    def _pick_bucket(self, h: int, w: int) -> Tuple[int, int]:
+        ph = round_up(h, self.pad_multiple)
+        pw = round_up(w, self.pad_multiple)
+        candidates = [b for b in self.buckets if b[0] >= ph and b[1] >= pw]
+        if not candidates:
+            return ph, pw
+        return min(candidates, key=lambda b: b[0] * b[1])
+
+    # -- model invocation -------------------------------------------------
+    def run_on_resized(self, image: np.ndarray) -> Instances:
+        """Run detection+recognition on an already-resized HWC BGR image,
+        returning raw (un-postprocessed) instances at the image's scale."""
+        h, w = image.shape[:2]
+        bh, bw = self._pick_bucket(h, w)
+        padded = np.zeros((bh, bw, 3), np.float32)
+        padded[:h, :w] = image
+        out = self._jit_fn(
+            self.params, jnp.asarray(padded), jnp.asarray([h, w], jnp.int32)
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        valid = out["valid"]
+        inst = Instances(
+            (h, w),
+            pred_boxes=out["boxes"][valid],
+            scores=out["scores"][valid],
+            pred_classes=out["classes"][valid],
+            orientations=out["orientations"][valid],
+        )
+        if "text_probs" in out:
+            inst.pred_text_prob = out["text_probs"][valid]
+        if "mask_probs" in out:
+            inst.pred_masks = out["mask_probs"][valid]
+            inst.pred_rboxes = out["boxes"][valid]
+        return inst
+
+    def _model_postprocess(self, preds: Instances, height: int, width: int) -> Instances:
+        """GlassRCNN._postprocess (reference glass_rcnn.py:103-128)."""
+        if self.filter_small_boxes:
+            preds = self.post_processor.filter_small_boxes(preds)
+        if self.inflate_ratio:
+            preds = self.post_processor.resize_boxes(preds, self.inflate_ratio)
+        if self.drop_overlapping:
+            preds = self.post_processor.drop_overlapping_boxes(
+                preds, self.ioa_threshold, self.valid_score
+            )
+        return detector_postprocess(preds, height, width)
+
+    def __call__(self, original_image: np.ndarray) -> Instances:
+        if self.input_format == "RGB":
+            original_image = original_image[:, :, ::-1]
+        if self.input_format == "GREY":
+            original_image = rgb2grey(original_image, three_channels=True)
+        image_height, image_width = original_image.shape[:2]
+
+        scale_ratio = self.get_inference_scale_ratio(original_image.shape)
+        if scale_ratio != 1:
+            new_h = int(np.round(scale_ratio * image_height))
+            new_w = int(np.round(scale_ratio * image_width))
+            image = cv2.resize(
+                original_image.astype(np.float32), (new_w, new_h),
+                interpolation=cv2.INTER_LINEAR,
+            )
+        else:
+            image = original_image.astype(np.float32)
+
+        preds = self.run_on_resized(image)
+        preds = self._model_postprocess(preds, image.shape[0], image.shape[1])
+
+        if scale_ratio != 1 and len(preds):
+            preds.pred_boxes = scale_rotated_np(
+                np.asarray(preds.pred_boxes), 1.0 / scale_ratio, 1.0 / scale_ratio
+            )
+        preds._image_size = (image_height, image_width)
+        logger.info("Detected %d raw word instances", len(preds))
+
+        if self.post_process_flag:
+            preds = self.post_processor(preds)
+            logger.info("Post-processing output is %d word instances", len(preds))
+        return preds
+
+    def decode_texts(self, preds: Instances):
+        from ..text import decode_topk_probs
+
+        return decode_topk_probs(np.asarray(preds.pred_text_prob), self.codec)
