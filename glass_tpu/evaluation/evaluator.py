@@ -1,0 +1,208 @@
+"""Dataset evaluator: predictions -> RRC protocol metrics.
+
+The reference ``TextEvaluator`` (``glass/evaluation/text_evaluator.py``)
+serializes predictions to per-image txt files, zips them and invokes the
+official script against **hardcoded internal gt zip paths**
+(``text_evaluator.py:57-74``).  Here gt can come from either source, both
+parameterized:
+
+* the registered COCO dataset itself (polygon/rotated-box annotations +
+  transcriptions) — the default, no extra files needed,
+* an RRC-format gt zip (``x1,y1,...,x4,y4,[####]transcription`` lines) via
+  ``DATASETS.EVAL_GT_ZIPS`` for byte-exact protocol compatibility.
+
+Prediction conversion mirrors ``instances_to_coco_json``: with masks, the
+largest mask contour becomes the polygon; otherwise the rotated box's 4
+vertices.  Optional lexicon correction matches ``lexicon_utils``.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import os
+import re
+import zipfile
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from ..postprocess.np_geometry import boxes_to_polygons_np
+from ..structures import Instances
+from ..text import TextCodec, decode_topk_probs
+from .text_eval import EvalInstance, evaluate_dataset
+from .lexicon import Lexicon
+
+logger = logging.getLogger(__name__)
+
+
+def mask_to_polygon(mask: np.ndarray) -> Optional[np.ndarray]:
+    """Largest external contour of a binary mask (reference masks_to_polygons)."""
+    contours, _ = cv2.findContours(
+        mask.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    if not contours:
+        return None
+    largest = max(contours, key=cv2.contourArea)
+    poly = largest.reshape(-1, 2).astype(np.float64)
+    if len(poly) < 3:
+        return None
+    return poly
+
+
+def strip_special_chars(text: str) -> str:
+    """Leading/trailing special-char strip (reference instances_to_coco_json)."""
+    return text.strip("'!?.:,*\"()·[]/")
+
+
+def instances_to_eval(
+    preds: Instances,
+    codec: TextCodec,
+    use_masks: bool = True,
+    lexicon: Optional[Lexicon] = None,
+) -> List[EvalInstance]:
+    out: List[EvalInstance] = []
+    if len(preds) == 0:
+        return out
+    texts, scores, char_scores = decode_topk_probs(
+        np.asarray(preds.pred_text_prob), codec
+    )
+    boxes = np.asarray(preds.pred_boxes)
+    det_scores = np.asarray(preds.scores)
+    has_masks = use_masks and preds.has("pred_masks")
+    box_polys = boxes_to_polygons_np(boxes) if boxes.shape[-1] == 5 else None
+
+    for i in range(len(preds)):
+        poly = None
+        if has_masks:
+            poly = mask_to_polygon(np.asarray(preds.pred_masks[i]))
+        if poly is None and box_polys is not None:
+            poly = box_polys[i]
+        if poly is None:
+            continue
+        text = strip_special_chars(texts[i])
+        if lexicon is not None and text:
+            text = lexicon.correct(text, char_scores[i], codec)
+        out.append(
+            EvalInstance(
+                points=poly, transcription=text, confidence=float(det_scores[i])
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RRC zip gt parsing (compatibility path)
+# ---------------------------------------------------------------------------
+
+
+def load_gt_zip(path: str, sample_pattern: str = r"([0-9]+)") -> Dict[str, List[EvalInstance]]:
+    """Parse an RRC-format gt zip into per-image EvalInstances."""
+    out: Dict[str, List[EvalInstance]] = {}
+    with zipfile.ZipFile(path) as zf:
+        for name in zf.namelist():
+            m = re.search(sample_pattern, os.path.basename(name))
+            if not m:
+                continue
+            key = m.group(1)
+            lines = zf.read(name).decode("utf-8-sig").replace("\r", "").split("\n")
+            insts = []
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    continue
+                if "####" in line:
+                    coords_part, trans = line.split("####", 1)
+                    parts = [p for p in coords_part.strip().rstrip(",").split(",") if p]
+                else:
+                    parts = line.split(",")
+                    trans = parts[-1]
+                    parts = parts[:-1]
+                try:
+                    coords = np.array([float(p) for p in parts], np.float64)
+                except ValueError:
+                    coords = np.array(
+                        [float(p) for p in parts[:-1]], np.float64
+                    )
+                    trans = parts[-1] + "," + trans
+                if len(coords) < 6:
+                    continue
+                insts.append(
+                    EvalInstance(points=coords.reshape(-1, 2), transcription=trans)
+                )
+            out[key] = insts
+    return out
+
+
+class TextEvaluator:
+    """Accumulates per-image predictions, computes E2E + det-only metrics."""
+
+    def __init__(
+        self,
+        dataset_name: str,
+        cfg,
+        output_dir: Optional[str] = None,
+        gt_zip: Optional[str] = None,
+        word_spotting: bool = False,
+        lexicon: Optional[Lexicon] = None,
+    ):
+        self.dataset_name = dataset_name
+        self.cfg = cfg
+        self.codec = TextCodec.from_config(cfg)
+        self.output_dir = output_dir
+        self.word_spotting = word_spotting
+        self.lexicon = lexicon
+        self.use_masks = cfg.MODEL.MASK_ON and cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE
+        self._dets: Dict[str, List[EvalInstance]] = {}
+        self._gts: Dict[str, List[EvalInstance]] = {}
+        if gt_zip:
+            pattern = r"gt_img_([0-9]+)" if "icdar" in dataset_name.lower() else r"([0-9]+)"
+            self._gt_from_zip = load_gt_zip(gt_zip, pattern)
+        else:
+            self._gt_from_zip = None
+
+    def process(self, image_key: str, preds: Instances, gt_record: Optional[dict] = None):
+        self._dets[image_key] = instances_to_eval(
+            preds, self.codec, self.use_masks, self.lexicon
+        )
+        if self._gt_from_zip is None and gt_record is not None:
+            gts = []
+            for ann in gt_record.get("annotations", []):
+                segm = ann.get("segmentation")
+                if segm:
+                    pts = np.asarray(segm[0], np.float64).reshape(-1, 2)
+                else:
+                    pts = boxes_to_polygons_np(
+                        np.asarray(ann["bbox"], np.float32).reshape(1, 5)
+                    )[0]
+                text = ann.get("text", "") or "###"
+                gts.append(EvalInstance(points=pts, transcription=text))
+            self._gts[image_key] = gts
+
+    def evaluate(self) -> Dict[str, Dict[str, float]]:
+        gts = self._gt_from_zip if self._gt_from_zip is not None else self._gts
+        if self._gt_from_zip is not None:
+            # Only evaluate keys present in gt (official behaviour).
+            dets = {k: self._dets.get(k, []) for k in gts}
+        else:
+            dets = self._dets
+        results = evaluate_dataset(gts, dets, self.word_spotting)
+        logger.info("%s: %s", self.dataset_name, results)
+        if self.output_dir:
+            self._write_outputs()
+        return results
+
+    def _write_outputs(self):
+        os.makedirs(self.output_dir, exist_ok=True)
+        zpath = os.path.join(self.output_dir, f"{self.dataset_name}_det.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for key, dets in self._dets.items():
+                buf = io.StringIO()
+                for d in dets:
+                    coords = ",".join(
+                        str(int(round(v))) for v in np.asarray(d.points).ravel()
+                    )
+                    buf.write(f"{coords},####{d.transcription}\n")
+                zf.writestr(f"res_img_{key}.txt", buf.getvalue())
+        logger.info("Wrote detections to %s", zpath)

@@ -1,0 +1,231 @@
+"""ICDAR/RRC end-to-end text spotting evaluation protocol.
+
+Clean-room implementation of the official matching rules used by the
+reference (``glass/evaluation/text_eval_script.py``):
+
+* greedy 1:1 matching on polygon IoU > 0.5,
+* gt entries transcribed ``###`` are don't-care; detections covered > 0.5
+  (intersection / det area) by a don't-care gt are excluded,
+* E2E correctness: case-insensitive transcription equality with special
+  characters allowed at the gt word's first/last position (or, for word
+  spotting, zero edit distance after dictionary filtering with min length 3),
+* detection-only results use only the ``###`` don't-cares,
+* global P/R/hmean accumulated over all images.
+
+Operates on in-memory per-image records — no zip/txt round-trip required —
+with zip-compatible entry points in evaluator.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import Levenshtein
+
+from .polygon import polygon_area, polygon_iou, polygon_intersection_area
+
+SPECIAL_CHARACTERS = "!?.:,*\"()·[]/'"
+MIN_LENGTH_CARE_WORD = 3
+IOU_CONSTRAINT = 0.5
+AREA_PRECISION_CONSTRAINT = 0.5
+
+
+@dataclass
+class EvalInstance:
+    points: np.ndarray  # (N, 2)
+    transcription: str
+    confidence: float = 1.0
+
+
+def transcription_match(
+    trans_gt: str,
+    trans_det: str,
+    special_characters: str = SPECIAL_CHARACTERS,
+    only_remove_first_last_character_gt: bool = True,
+) -> bool:
+    if only_remove_first_last_character_gt:
+        if trans_gt == trans_det:
+            return True
+        if trans_gt and special_characters.find(trans_gt[0]) > -1:
+            if trans_gt[1:] == trans_det:
+                return True
+        if trans_gt and special_characters.find(trans_gt[-1]) > -1:
+            if trans_gt[:-1] == trans_det:
+                return True
+        if (
+            len(trans_gt) >= 2
+            and special_characters.find(trans_gt[0]) > -1
+            and special_characters.find(trans_gt[-1]) > -1
+        ):
+            if trans_gt[1:-1] == trans_det:
+                return True
+        return False
+    while trans_gt and special_characters.find(trans_gt[0]) > -1:
+        trans_gt = trans_gt[1:]
+    while trans_det and special_characters.find(trans_det[0]) > -1:
+        trans_det = trans_det[1:]
+    while trans_gt and special_characters.find(trans_gt[-1]) > -1:
+        trans_gt = trans_gt[:-1]
+    while trans_det and special_characters.find(trans_det[-1]) > -1:
+        trans_det = trans_det[:-1]
+    return trans_gt == trans_det
+
+
+def include_in_dictionary(transcription: str) -> bool:
+    """Word-spotting dictionary rule (text_eval_script.include_in_dictionary)."""
+    if transcription[-2:] in ("'s", "'S"):
+        transcription = transcription[:-2]
+    transcription = transcription.strip("-")
+    for ch in "'!?.:,*\"()·[]/":
+        transcription = transcription.replace(ch, " ")
+    transcription = transcription.strip()
+    if len(transcription) != len(transcription.replace(" ", "")):
+        return False
+    if len(transcription) < MIN_LENGTH_CARE_WORD:
+        return False
+    return True
+
+
+def include_in_dictionary_transcription(transcription: str) -> str:
+    if transcription[-2:] in ("'s", "'S"):
+        transcription = transcription[:-2]
+    transcription = transcription.strip("-")
+    for ch in "'!?.:,*\"()·[]/":
+        transcription = transcription.replace(ch, " ")
+    return transcription.strip()
+
+
+@dataclass
+class EvalTotals:
+    matched: int = 0
+    det_only_matched: int = 0
+    gt_care: int = 0
+    det_care: int = 0
+    det_only_gt_care: int = 0
+    det_only_det_care: int = 0
+
+    def add(self, other: "EvalTotals"):
+        for f in self.__dataclass_fields__:
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+
+
+def evaluate_image(
+    gts: Sequence[EvalInstance],
+    dets: Sequence[EvalInstance],
+    word_spotting: bool = False,
+) -> EvalTotals:
+    gt_dontcare, det_only_gt_dontcare = [], []
+    gt_trans = []
+    for i, g in enumerate(gts):
+        dontcare = det_only_dc = g.transcription == "###"
+        trans = g.transcription
+        if word_spotting and not dontcare:
+            if not include_in_dictionary(trans):
+                dontcare = True
+            else:
+                trans = include_in_dictionary_transcription(trans)
+        gt_trans.append(trans)
+        if dontcare:
+            gt_dontcare.append(i)
+        if det_only_dc:
+            det_only_gt_dontcare.append(i)
+
+    det_dontcare, det_only_det_dontcare = [], []
+    for j, d in enumerate(dets):
+        d_area = polygon_area(np.asarray(d.points, np.float64))
+        for dc_list, out in (
+            (gt_dontcare, det_dontcare),
+            (det_only_gt_dontcare, det_only_det_dontcare),
+        ):
+            for i in dc_list:
+                inter = polygon_intersection_area(gts[i].points, d.points)
+                precision = 0 if d_area == 0 else inter / d_area
+                if precision > AREA_PRECISION_CONSTRAINT:
+                    out.append(j)
+                    break
+
+    n_gt, n_det = len(gts), len(dets)
+    det_correct = det_only_correct = 0
+    if n_gt and n_det:
+        iou = np.zeros((n_gt, n_det))
+        for i in range(n_gt):
+            for j in range(n_det):
+                iou[i, j] = polygon_iou(dets[j].points, gts[i].points)
+
+        gt_matched = np.zeros(n_gt, bool)
+        det_matched = np.zeros(n_det, bool)
+        for i in range(n_gt):
+            for j in range(n_det):
+                if (
+                    not gt_matched[i]
+                    and not det_matched[j]
+                    and i not in gt_dontcare
+                    and j not in det_dontcare
+                    and iou[i, j] > IOU_CONSTRAINT
+                ):
+                    gt_matched[i] = True
+                    det_matched[j] = True
+                    gt_word = gt_trans[i].upper().replace("####", "")
+                    pred_word = dets[j].transcription.upper()
+                    if word_spotting:
+                        correct = Levenshtein.distance(gt_word, pred_word) <= 0
+                    else:
+                        try:
+                            correct = transcription_match(gt_word, pred_word)
+                        except Exception:
+                            correct = False
+                    det_correct += 1 if correct else 0
+
+        gt_matched[:] = False
+        det_matched[:] = False
+        for i in range(n_gt):
+            for j in range(n_det):
+                if (
+                    not gt_matched[i]
+                    and not det_matched[j]
+                    and i not in det_only_gt_dontcare
+                    and j not in det_only_det_dontcare
+                    and iou[i, j] > IOU_CONSTRAINT
+                ):
+                    gt_matched[i] = True
+                    det_matched[j] = True
+                    det_only_correct += 1
+
+    return EvalTotals(
+        matched=det_correct,
+        det_only_matched=det_only_correct,
+        gt_care=n_gt - len(gt_dontcare),
+        det_care=n_det - len(det_dontcare),
+        det_only_gt_care=n_gt - len(det_only_gt_dontcare),
+        det_only_det_care=n_det - len(det_only_det_dontcare),
+    )
+
+
+def _prh(matched, gt_care, det_care):
+    recall = 0.0 if gt_care == 0 else matched / gt_care
+    precision = 0.0 if det_care == 0 else matched / det_care
+    hmean = (
+        0.0
+        if precision + recall == 0
+        else 2.0 * precision * recall / (precision + recall)
+    )
+    return {"precision": precision, "recall": recall, "hmean": hmean}
+
+
+def evaluate_dataset(
+    gt_per_image: Dict[str, List[EvalInstance]],
+    det_per_image: Dict[str, List[EvalInstance]],
+    word_spotting: bool = False,
+) -> Dict[str, Dict[str, float]]:
+    totals = EvalTotals()
+    for key, gts in gt_per_image.items():
+        dets = det_per_image.get(key, [])
+        totals.add(evaluate_image(gts, dets, word_spotting))
+    return {
+        "E2E_RESULTS": _prh(totals.matched, totals.gt_care, totals.det_care),
+        "DETECTION_ONLY_RESULTS": _prh(
+            totals.det_only_matched, totals.det_only_gt_care, totals.det_only_det_care
+        ),
+    }

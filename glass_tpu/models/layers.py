@@ -132,7 +132,9 @@ def max_pool2d(
     if isinstance(padding, int):
         padding = (padding, padding)
     pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so XLA recognizes the max-pool pattern and the
+    # select-and-scatter autodiff rule applies.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,87 @@
+"""Device-mesh data parallelism.
+
+TPU-native replacement for the reference's process-per-GPU launcher
+(``tools/train_glass.py:89-96``: d2 ``launch`` + DDP + NCCL SyncBN).  One
+program drives all chips through a ``jax.sharding.Mesh``:
+
+* batch sharded over the ``data`` axis, parameters/optimizer state
+  replicated,
+* gradient allreduce = ``jax.lax.pmean`` inside ``shard_map`` (rides ICI),
+* SyncBN = the same ``pmean`` on batch statistics (models/layers.batch_norm),
+* multi-host: the same program under ``jax.distributed.initialize`` — the
+  mesh spans all processes, nothing else changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch with its leading dim sharded over the data axis."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+    )
+
+
+def make_parallel_train_step(
+    mesh: Mesh,
+    loss_fn: Callable,
+    tx,
+) -> Callable:
+    """Build the pjit-ted data-parallel train step.
+
+    loss_fn(params, batch, key) -> (total, (loss_dict, bn_updates)), written
+    for a per-shard batch with BN using axis_name = "data".
+
+    Returns step(params, opt_state, batch, key) -> (params, opt_state,
+    metrics) with gradients pmean-ed over the data axis.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..train.optimizer import apply_bn_updates
+
+    def sharded_grads(params, batch, key):
+        # Per-shard: local loss/grads, then cross-replica mean.
+        (total, (loss_dict, bn_updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch, key)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        total = jax.lax.pmean(total, DATA_AXIS)
+        loss_dict = jax.lax.pmean(loss_dict, DATA_AXIS)
+        bn_updates = jax.lax.pmean(bn_updates, DATA_AXIS)
+        return total, loss_dict, grads, bn_updates
+
+    grads_sharded = shard_map(
+        sharded_grads,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        total, loss_dict, grads, bn_updates = grads_sharded(params, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        params = apply_bn_updates(params, bn_updates)
+        metrics = dict(loss_dict)
+        metrics["total_loss"] = total
+        return params, opt_state, metrics
+
+    return step

@@ -1,0 +1,451 @@
+"""The jitted GLASS training step.
+
+Re-implements the reference training forward (call stack SURVEY 3.1:
+``GeneralizedRCNN.forward`` training branch +
+``MaskRotatedRecognizerHybridHead.forward`` + ``RotatedRPN.losses``) as a
+single static-shape jax program:
+
+* anchor labeling via sparse top-K rotated matching (see matcher.py),
+* balanced subsampling as weight masks (never dynamic shapes),
+* gt appended to proposals before ROI matching
+  (``rotated_head.add_ground_truth_to_proposals``),
+* gt-orientation overwrite on proposals before mask/recognizer branches
+  (``recognizers_hybrid_head.py:160-169``),
+* word subsampling with the ``random`` / ``long_first`` strategies
+  (``recognizer_head_v2._sample_words:53-68``),
+* mask targets rasterized in-graph (targets.py) instead of the reference's
+  per-instance CPU rasterization.
+
+Data parallelism: run under ``shard_map`` over the ``data`` mesh axis —
+batch-norm statistics and gradients are ``pmean``-ed across it (the
+TPU-native SyncBN + DDP allreduce).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import layers as L
+from ..models.context import Ctx
+from ..models.glass_rcnn import (
+    GlassArch,
+    preprocess,
+    backbone_features,
+    _multilevel_pool,
+)
+from ..models import rpn as rpn_mod
+from ..models import box_head as bh
+from ..models.fusion import p2p3_fusion_apply, gc_attention_apply
+from ..models.local_extractor import local_extractor_apply
+from ..models.mask_head import mask_head_apply
+from ..models.recognizer import recognizer_layers_apply, aster_decode_train
+from ..models.fpn import FPN_LEVEL_STRIDES
+from ..ops.boxes import get_deltas, overwrite_orientations_on_boxes
+from ..ops.iou_rotated import pairwise_iou_rotated
+from . import losses as LS
+from .matcher import matcher_assign, rpn_label_anchors, subsample_labels
+from .targets import mask_targets_for_proposals
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    rpn_batch_per_image: int = 64
+    rpn_positive_fraction: float = 0.5
+    rpn_pre_nms_topk: int = 1000
+    rpn_post_nms_topk: int = 300
+    rpn_smooth_l1_beta: float = 0.11
+    rpn_loss_type: str = "sine_square_loss"
+    roi_batch_per_image: int = 512
+    roi_positive_fraction: float = 0.25
+    roi_iou_threshold: float = 0.5
+    box_smooth_l1_beta: float = 1.0
+    box_loss_type: str = "sine_square_loss"
+    orientation_loss_weight: float = 0.3
+    apply_orientation_in_training: bool = True
+    recognizer_loss_weight: float = 2.0
+    words_per_image: int = 8
+    sample_words_strategy: str = "random"
+    sample_words_strategy_prob: float = 0.3
+    mask_loss_weight: float = 0.005
+    masks_per_image: int = 128
+    mask_size: int = 28
+    match_topk: int = 512
+
+    @classmethod
+    def from_config(cls, cfg) -> "TrainConfig":
+        rec = cfg.MODEL.ROI_RECOGNIZER_HEAD
+        return cls(
+            rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+            rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+            rpn_pre_nms_topk=cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+            rpn_post_nms_topk=cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+            rpn_smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
+            rpn_loss_type=cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE,
+            roi_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            roi_iou_threshold=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
+            box_smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+            box_loss_type=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
+            orientation_loss_weight=cfg.MODEL.ROI_ORIENTATION_HEAD.LOSS_WEIGHT,
+            apply_orientation_in_training=(
+                cfg.MODEL.ROI_ORIENTATION_HEAD.APPLY_TO_BOXES_DURING_TRAINING
+            ),
+            recognizer_loss_weight=rec.LOSS_WEIGHT,
+            words_per_image=min(rec.MAX_BATCH_SIZE, cfg.TPU.MAX_WORDS),
+            sample_words_strategy=rec.SAMPLE_WORDS_STRATEGY,
+            sample_words_strategy_prob=rec.SAMPLE_WORDS_STRATEGY_PROB,
+            mask_loss_weight=cfg.MODEL.ROI_MASK_HEAD.LOSS_WEIGHT,
+            masks_per_image=int(
+                cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+                * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION
+            ),
+        )
+
+
+def _select_topk_mask(mask: jnp.ndarray, k: int, key=None, priority=None):
+    """Pick up to k True entries of ``mask`` -> (indices (k,), valid (k,)).
+
+    Selection priority: random (if key) or the given priority array, else
+    first-come.
+    """
+    n = mask.shape[0]
+    if priority is None:
+        if key is not None:
+            priority = jax.random.uniform(key, (n,))
+        else:
+            priority = -jnp.arange(n, dtype=jnp.float32)
+    pri = jnp.where(mask, priority, -jnp.inf)
+    if k > n:  # fewer candidates than capacity: pad with -inf slots
+        pri = jnp.concatenate([pri, jnp.full((k - n,), -jnp.inf)])
+    vals, idx = jax.lax.top_k(pri, k)
+    idx = jnp.minimum(idx, n - 1)
+    return idx, vals > -jnp.inf
+
+
+def rpn_losses(
+    arch: GlassArch,
+    tcfg: TrainConfig,
+    logits,
+    deltas,
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    keys: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Batched RPN losses (reference rotated_rpn.py:20-91).
+
+    logits: (B, A); deltas: (B, A, 5); anchors: (A, 5);
+    gt_boxes: (B, G, 5); keys: (B,) rng keys.
+    """
+    b = logits.shape[0]
+
+    def per_image(gt_b, gt_v, key):
+        labels, matched_gt = rpn_label_anchors(
+            gt_b, gt_v, anchors, k=tcfg.match_topk
+        )
+        pos_mask, neg_mask = subsample_labels(
+            key, labels, tcfg.rpn_batch_per_image, tcfg.rpn_positive_fraction
+        )
+        gt_deltas = get_deltas(anchors, matched_gt, arch.rpn_bbox_weights)
+        return labels, pos_mask, neg_mask, gt_deltas
+
+    labels, pos_mask, neg_mask, gt_deltas = jax.vmap(per_image)(
+        gt_boxes, gt_valid, keys
+    )
+
+    valid_mask = pos_mask | neg_mask
+    objectness = LS.masked_bce_with_logits(
+        logits, pos_mask.astype(jnp.float32), valid_mask
+    ) * jnp.sum(valid_mask) / (tcfg.rpn_batch_per_image * b)
+
+    loc = LS.BOX_REG_LOSSES[tcfg.rpn_loss_type](
+        deltas.astype(jnp.float32), gt_deltas, tcfg.rpn_smooth_l1_beta,
+        arch.rpn_bbox_weights,
+    )
+    loc = jnp.sum(jnp.where(pos_mask[..., None], loc, 0.0)) / (
+        tcfg.rpn_batch_per_image * b
+    )
+    return {"loss_rpn_cls": objectness, "loss_rpn_loc": loc}
+
+
+def glass_train_forward(
+    arch: GlassArch,
+    tcfg: TrainConfig,
+    params: dict,
+    batch: dict,
+    key: jax.Array,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], dict]:
+    """Full training forward.
+
+    batch fields (B leading):
+        images (B, H, W, 3) raw BGR; content_hw (B, 2);
+        gt_boxes (B, G, 5); gt_valid (B, G); gt_classes (B, G);
+        gt_orientation (B, G); gt_text (B, G, T+2);
+        gt_polygons (B, G, K, 2); gt_poly_nv (B, G).
+
+    Returns (total_loss, loss_dict, bn_updates).
+    """
+    ctx = Ctx(train=True, axis_name=axis_name)
+    b = batch["images"].shape[0]
+    g = batch["gt_boxes"].shape[1]
+    keys = jax.random.split(key, 8)
+
+    norm = preprocess(arch, batch["images"])
+    feats = backbone_features(ctx, arch, params, norm)
+
+    # ---- RPN -----------------------------------------------------------
+    rpn_features = [feats[f] for f in arch.rpn_in_features]
+    logits_l, deltas_l = rpn_mod.rpn_head_apply(
+        ctx, params["proposal_generator"]["rpn_head"], rpn_features
+    )
+    anchors_l = []
+    for i, fname in enumerate(arch.rpn_in_features):
+        stride = FPN_LEVEL_STRIDES[fname]
+        h, w = rpn_features[i].shape[1], rpn_features[i].shape[2]
+        cell = rpn_mod.generate_cell_anchors(
+            arch.anchor_sizes[i], arch.anchor_aspects, arch.anchor_angles
+        )
+        anchors_l.append(
+            jnp.asarray(
+                rpn_mod.generate_anchors_for_level(h, w, stride, cell, arch.anchor_offset)
+            )
+        )
+    anchors = jnp.concatenate(anchors_l, axis=0)
+    logits = jnp.concatenate([l.astype(jnp.float32) for l in logits_l], axis=1)
+    deltas = jnp.concatenate([d.astype(jnp.float32) for d in deltas_l], axis=1)
+
+    losses = rpn_losses(
+        arch, tcfg, logits, deltas, anchors,
+        batch["gt_boxes"], batch["gt_valid"], jax.random.split(keys[0], b),
+    )
+
+    # ---- proposals (stop-gradient, as in the reference) ----------------
+    def proposals_per_image(logit_b, delta_b, hw):
+        per_level_logits, per_level_deltas, off = [], [], 0
+        for anc in anchors_l:
+            n = anc.shape[0]
+            per_level_logits.append(jax.lax.dynamic_slice_in_dim(logit_b, off, n))
+            per_level_deltas.append(jax.lax.dynamic_slice_in_dim(delta_b, off, n))
+            off += n
+        return rpn_mod.select_proposals_single_image(
+            per_level_logits,
+            per_level_deltas,
+            anchors_l,
+            (hw[0], hw[1]),
+            arch.rpn_bbox_weights,
+            tcfg.rpn_pre_nms_topk,
+            tcfg.rpn_post_nms_topk,
+            arch.rpn_nms_thresh,
+        )
+
+    prop_boxes, prop_scores, prop_valid = jax.vmap(proposals_per_image)(
+        jax.lax.stop_gradient(logits),
+        jax.lax.stop_gradient(deltas),
+        batch["content_hw"],
+    )
+
+    # Append gt to proposals (rotated_head.add_ground_truth_to_proposals).
+    all_boxes = jnp.concatenate([prop_boxes, batch["gt_boxes"]], axis=1)
+    all_valid = jnp.concatenate([prop_valid, batch["gt_valid"]], axis=1)
+
+    # ---- ROI matching + sampling --------------------------------------
+    def label_sample(boxes_b, valid_b, gt_b, gt_v, gt_cls, key):
+        quality = pairwise_iou_rotated(gt_b, boxes_b)
+        quality = quality * gt_v[:, None] * valid_b[None, :]
+        matched_idx, match_labels = matcher_assign(
+            quality, (tcfg.roi_iou_threshold,), (0, 1), allow_low_quality=False
+        )
+        cls = jnp.where(
+            match_labels == 1, gt_cls[matched_idx], arch.num_classes
+        )  # background = num_classes
+        sample_labels = jnp.where(
+            valid_b, jnp.where(cls < arch.num_classes, 1, 0), -1
+        )
+        pos_mask, neg_mask = subsample_labels(
+            key, sample_labels, tcfg.roi_batch_per_image, tcfg.roi_positive_fraction
+        )
+        sampled_mask = pos_mask | neg_mask
+        idx, sel_valid = _select_topk_mask(
+            sampled_mask, tcfg.roi_batch_per_image,
+            priority=-jnp.arange(sampled_mask.shape[0], dtype=jnp.float32),
+        )
+        return idx, sel_valid, matched_idx[idx], cls[idx]
+
+    roi_keys = jax.random.split(keys[1], b)
+    sel_idx, sel_valid, sel_gt_idx, sel_cls = jax.vmap(label_sample)(
+        all_boxes, all_valid, batch["gt_boxes"], batch["gt_valid"],
+        batch["gt_classes"], roi_keys,
+    )
+
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    sampled_boxes = take(all_boxes, sel_idx)  # (B, R, 5)
+    gt_boxes_per = take(batch["gt_boxes"], sel_gt_idx)
+    gt_orient_per = take(batch["gt_orientation"], sel_gt_idx)
+    fg_mask = sel_valid & (sel_cls < arch.num_classes)
+
+    # ---- box head ------------------------------------------------------
+    r = tcfg.roi_batch_per_image
+    pooled = jax.vmap(
+        lambda f, bx: _multilevel_pool(
+            arch,
+            {k: v[None] for k, v in f.items()},
+            arch.box_in_features,
+            bx,
+            (arch.box_pooler_resolution, arch.box_pooler_resolution),
+            arch.box_pooler_sampling_ratio,
+        )
+    )({k: feats[k] for k in arch.box_in_features}, sampled_boxes)
+    pooled = pooled.reshape(b * r, *pooled.shape[2:])
+    x = bh.box_head_apply(ctx, params["roi_heads"]["box_head"], pooled)
+    scores, pred_deltas, orient_logits = bh.box_predictor_apply(
+        ctx, params["roi_heads"]["box_predictor"], x.astype(jnp.float32),
+        arch.orientation_on,
+    )
+
+    flat_cls = sel_cls.reshape(-1)
+    flat_valid = sel_valid.reshape(-1)
+    flat_fg = fg_mask.reshape(-1)
+    losses["loss_cls"] = LS.masked_cross_entropy(scores, flat_cls, flat_valid)
+
+    gt_d = get_deltas(
+        sampled_boxes.reshape(-1, 5), gt_boxes_per.reshape(-1, 5), arch.box_bbox_weights
+    )
+    reg = LS.BOX_REG_LOSSES[tcfg.box_loss_type](
+        pred_deltas.reshape(-1, 5), gt_d, tcfg.box_smooth_l1_beta, arch.box_bbox_weights
+    )
+    total_sampled = jnp.maximum(jnp.sum(flat_valid), 1)
+    losses["loss_box_reg"] = (
+        jnp.sum(jnp.where(flat_fg[:, None], reg, 0.0)) / total_sampled
+    )
+
+    if arch.orientation_on:
+        losses["loss_orientation"] = (
+            LS.masked_cross_entropy(
+                orient_logits, gt_orient_per.reshape(-1), flat_fg
+            )
+            * tcfg.orientation_loss_weight
+        )
+
+    # ---- gt-orientation overwrite for downstream branches --------------
+    if tcfg.apply_orientation_in_training:
+        ds_boxes = jax.vmap(overwrite_orientations_on_boxes)(
+            sampled_boxes, gt_orient_per
+        )
+    else:
+        ds_boxes = sampled_boxes
+
+    # ---- recognizer branch --------------------------------------------
+    if arch.recognizer_on:
+        gt_text_per = take(batch["gt_text"], sel_gt_idx)  # (B, R, T+2)
+        word_len = jnp.sum(gt_text_per > 0, axis=-1)
+        word_ok = fg_mask & (jnp.sum(gt_text_per, axis=-1) > 1)
+
+        w_cap = tcfg.words_per_image
+        wkeys = jax.random.split(keys[2], b)
+
+        def select_words(ok, lens, key):
+            k_strat, k_pick = jax.random.split(key)
+            use_long = (
+                jax.random.uniform(k_strat, ()) <= tcfg.sample_words_strategy_prob
+            ) & (tcfg.sample_words_strategy == "long_first")
+            rand_pri = jax.random.uniform(k_pick, ok.shape)
+            pri = jnp.where(use_long, lens.astype(jnp.float32) + rand_pri * 0.01, rand_pri)
+            return _select_topk_mask(ok, w_cap, priority=pri)
+
+        w_idx, w_valid = jax.vmap(select_words)(word_ok, word_len, wkeys)
+        word_boxes = take(ds_boxes, w_idx)  # (B, W, 5)
+        word_text = take(gt_text_per, w_idx)  # (B, W, T+2)
+
+        p2, p3 = feats["p2"], feats["p3"]
+        fused = p2p3_fusion_apply(
+            ctx, params["roi_heads"]["recognizer_feature_fusion"], p2, p3
+        )
+        from ..ops.roi_align_rotated import roi_align_rotated
+
+        global_f = jax.vmap(
+            lambda fmap, bx: roi_align_rotated(
+                fmap, bx, arch.recognizer_pool_hw,
+                spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"], sampling_ratio=0,
+            )
+        )(fused, word_boxes)
+        crops = jax.vmap(
+            lambda img, bx: roi_align_rotated(
+                img, bx, arch.img_crop_hw, spatial_scale=1.0,
+                sampling_ratio=arch.img_crop_sampling_ratio,
+            )
+        )(norm, word_boxes)
+
+        w = w_cap
+        crops = crops.reshape(b * w, *crops.shape[2:])
+        global_f = global_f.reshape(b * w, *global_f.shape[2:])
+        local_f = local_extractor_apply(
+            ctx, params["roi_heads"]["hybrid_net"]["ConvNet"], crops
+        )
+        fused_words = jnp.concatenate([local_f, global_f], axis=-1)
+        fused_words = gc_attention_apply(
+            ctx, params["roi_heads"]["fusion_net"], fused_words, arch.gc_headers
+        )
+        enc = recognizer_layers_apply(
+            ctx, params["roi_heads"]["recognizer_head"], fused_words
+        )
+        word_logits = aster_decode_train(
+            params["roi_heads"]["recognizer_head"]["decoder"],
+            enc.astype(jnp.float32),
+            word_text.reshape(b * w, -1),
+            arch.max_word_len + 1,
+        )
+        losses["loss_decoder"] = (
+            LS.decoder_cross_entropy(
+                word_logits, word_text.reshape(b * w, -1), w_valid.reshape(-1)
+            )
+            * tcfg.recognizer_loss_weight
+        )
+
+    # ---- mask branch ---------------------------------------------------
+    if arch.mask_on and "gt_polygons" in batch:
+        m_cap = tcfg.masks_per_image
+        mkeys = jax.random.split(keys[3], b)
+        m_idx, m_valid = jax.vmap(
+            lambda ok, key: _select_topk_mask(ok, m_cap, key=key)
+        )(fg_mask, mkeys)
+        mask_boxes = take(ds_boxes, m_idx)  # (B, M, 5)
+        mask_gt_idx = take(sel_gt_idx, m_idx)
+
+        pooled_m = jax.vmap(
+            lambda f, bx: _multilevel_pool(
+                arch,
+                {k: v[None] for k, v in f.items()},
+                arch.box_in_features,
+                bx,
+                (arch.mask_pooler_resolution, arch.mask_pooler_resolution),
+                0,
+            )
+        )({k: feats[k] for k in arch.box_in_features}, mask_boxes)
+        pooled_m = pooled_m.reshape(b * m_cap, *pooled_m.shape[2:])
+        mask_logits = mask_head_apply(
+            ctx, params["roi_heads"]["mask_head"], pooled_m, arch.mask_num_conv
+        )[..., 0]
+
+        targets = jax.vmap(
+            lambda polys, nv, gidx, boxes: mask_targets_for_proposals(
+                polys, nv, gidx, boxes, tcfg.mask_size
+            )
+        )(batch["gt_polygons"], batch["gt_poly_nv"], mask_gt_idx, mask_boxes)
+        targets = targets.reshape(b * m_cap, tcfg.mask_size, tcfg.mask_size)
+        elem_mask = jnp.broadcast_to(
+            m_valid.reshape(-1)[:, None, None], targets.shape
+        )
+        losses["loss_mask"] = (
+            LS.masked_bce_with_logits(
+                mask_logits, targets.astype(jnp.float32), elem_mask
+            )
+            * tcfg.mask_loss_weight
+        )
+
+    total = sum(losses.values())
+    return total, losses, ctx.bn_updates

@@ -1,0 +1,149 @@
+"""Training orchestration: the reference ``Trainer``/``DefaultTrainer`` loop.
+
+One program drives the whole device mesh (see parallel/mesh.py).  Replicates
+the reference loop structure (SGD + WarmupMultiStepLR, periodic
+checkpointing via Orbax, scalar metric logging, resume) with TPU-native
+additions the reference lacks: checkpoint-on-signal (preemption safety) and
+a deterministic data-iterator state (seed + step).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import signal
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from ..config import CfgNode
+from ..models import GlassArch, init_glass_params
+from ..parallel import make_mesh, shard_batch, make_parallel_train_step
+from ..data import DatasetManager, DatasetMapper, build_train_loader
+from .train_step import TrainConfig, glass_train_forward
+from .optimizer import build_optimizer
+from .checkpoint import save_checkpoint, load_checkpoint, load_torch_checkpoint
+from ..utils.events import EventStorage
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, cfg: CfgNode, mesh=None):
+        self.cfg = cfg
+        self.arch = GlassArch.from_config(cfg)
+        self.tcfg = TrainConfig.from_config(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.out_dir = cfg.OUTPUT_DIR
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.storage = EventStorage()
+
+        seed = cfg.SEED if cfg.SEED >= 0 else 0
+        key = jax.random.PRNGKey(seed)
+        if cfg.MODEL.WEIGHTS:
+            self.params = load_torch_checkpoint(cfg.MODEL.WEIGHTS)
+        else:
+            self.params = init_glass_params(key, self.arch)
+        self.tx, self.schedule = build_optimizer(cfg, self.params)
+        self.opt_state = self.tx.init(self.params)
+        self.start_iter = 0
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+        arch, tcfg = self.arch, self.tcfg
+
+        def loss_fn(params, batch, step_key):
+            step_key = jax.random.fold_in(step_key, jax.lax.axis_index("data"))
+            total, losses, bn = glass_train_forward(
+                arch, tcfg, params, batch, step_key, axis_name="data"
+            )
+            return total, (losses, bn)
+
+        self.step_fn = make_parallel_train_step(self.mesh, loss_fn, self.tx)
+        self._interrupted = False
+
+    # -- data -------------------------------------------------------------
+    def build_train_loader(self):
+        DatasetManager(self.cfg).register()
+        records = []
+        for name in self.cfg.DATASETS.TRAIN:
+            records.extend(DatasetManager.load(name))
+        mapper = DatasetMapper(self.cfg, is_train=True)
+        return build_train_loader(
+            self.cfg,
+            records,
+            mapper,
+            batch_size=self.cfg.SOLVER.IMS_PER_BATCH,
+            seed=max(self.cfg.SEED, 0),
+            rank=jax.process_index(),
+            world=jax.process_count(),
+        )
+
+    # -- checkpoint / resume ----------------------------------------------
+    def resume_or_load(self, resume: bool = True):
+        marker = os.path.join(self.out_dir, "last_checkpoint")
+        if resume and os.path.exists(marker):
+            state = load_checkpoint(self.out_dir)
+            self.params = state["params"]
+            self.opt_state = state.get("opt_state", self.opt_state)
+            self.start_iter = int(state.get("extra", {}).get("iteration", 0)) + 1
+            logger.info("Resumed from iteration %d", self.start_iter)
+
+    def save(self, iteration: int):
+        save_checkpoint(
+            self.out_dir,
+            iteration,
+            jax.tree_util.tree_map(np.asarray, self.params),
+            opt_state=jax.tree_util.tree_map(np.asarray, self.opt_state),
+            extra={"iteration": iteration},
+        )
+        logger.info("Saved checkpoint at iteration %d", iteration)
+
+    # -- loop --------------------------------------------------------------
+    def _install_signal_handler(self):
+        def handler(signum, frame):
+            logger.warning("Signal %d received: checkpointing before exit", signum)
+            self._interrupted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # not the main thread
+
+    def train(self, max_iter: Optional[int] = None):
+        max_iter = max_iter or self.cfg.SOLVER.MAX_ITER
+        loader = self.build_train_loader()
+        self._install_signal_handler()
+        ckpt_period = self.cfg.SOLVER.CHECKPOINT_PERIOD
+        t0 = time.time()
+        for it in range(self.start_iter, max_iter):
+            batch = shard_batch(self.mesh, next(loader))
+            key = jax.random.fold_in(self._rng, it)
+            self.params, self.opt_state, metrics = self.step_fn(
+                self.params, self.opt_state, batch, key
+            )
+            self.storage.step(it)
+            if it % 20 == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                for k, v in metrics.items():
+                    self.storage.put_scalar(k, v)
+                lr = float(self.schedule(it))
+                dt = time.time() - t0
+                logger.info(
+                    "iter %d  %s  lr %.5f  %.2f s/20it",
+                    it,
+                    "  ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())),
+                    lr,
+                    dt,
+                )
+                t0 = time.time()
+            if ckpt_period and it > 0 and it % ckpt_period == 0:
+                self.save(it)
+            if self._interrupted:
+                self.save(it)
+                logger.warning("Exiting on signal at iteration %d", it)
+                return
+        self.save(max_iter - 1)

@@ -1,0 +1,88 @@
+"""Evaluation protocol tests."""
+
+import numpy as np
+
+from glass_tpu.evaluation import (
+    EvalInstance,
+    evaluate_dataset,
+    evaluate_image,
+    transcription_match,
+    include_in_dictionary,
+    Lexicon,
+    weighted_edit_distance,
+)
+from glass_tpu.evaluation.polygon import polygon_iou, polygon_area
+
+
+def quad(x, y, w, h):
+    return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], np.float64)
+
+
+def test_polygon_iou_basic():
+    a = quad(0, 0, 10, 10)
+    b = quad(5, 0, 10, 10)
+    assert abs(polygon_iou(a, b) - 50.0 / 150.0) < 1e-9
+    assert abs(polygon_area(a) - 100.0) < 1e-9
+
+
+def test_polygon_iou_concave_raster():
+    # L-shaped concave polygon vs a square covering half of it.
+    concave = np.array(
+        [[0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10]], np.float64
+    )
+    square = quad(0, 0, 5, 10)
+    iou = polygon_iou(concave, square)
+    # concave area 75, intersection 50, union 100+... union = 75 + 50 - 50 = 75
+    assert abs(iou - 50.0 / 75.0) < 0.02
+
+
+def test_transcription_match_special_chars():
+    assert transcription_match("HELLO", "HELLO")
+    assert transcription_match("'HELLO", "HELLO")
+    assert transcription_match("HELLO!", "HELLO")
+    assert transcription_match("(HELLO)", "HELLO")
+    assert not transcription_match("HELLO", "WORLD")
+
+
+def test_include_in_dictionary():
+    assert include_in_dictionary("street")
+    assert not include_in_dictionary("st")       # too short
+    assert not include_in_dictionary("a b")      # inner space after cleanup
+
+
+def test_evaluate_image_e2e_and_det_only():
+    gts = [
+        EvalInstance(quad(0, 0, 20, 10), "HELLO"),
+        EvalInstance(quad(40, 0, 20, 10), "###"),       # don't care
+        EvalInstance(quad(80, 0, 20, 10), "WORLD"),
+    ]
+    dets = [
+        EvalInstance(quad(1, 0, 20, 10), "hello"),      # correct (case-insens.)
+        EvalInstance(quad(41, 0, 20, 10), "junk"),      # covered by dontcare
+        EvalInstance(quad(80, 0, 20, 10), "word"),      # matched, wrong text
+    ]
+    t = evaluate_image(gts, dets)
+    assert t.gt_care == 2 and t.det_care == 2
+    assert t.matched == 1            # only HELLO read correctly
+    assert t.det_only_matched == 2   # both care dets matched geometrically
+
+    res = evaluate_dataset({"1": gts}, {"1": dets})
+    assert abs(res["E2E_RESULTS"]["hmean"] - 0.5) < 1e-9
+    assert abs(res["DETECTION_ONLY_RESULTS"]["hmean"] - 1.0) < 1e-9
+
+
+def test_evaluate_image_word_spotting():
+    gts = [EvalInstance(quad(0, 0, 20, 10), "ab")]  # too short -> dontcare
+    dets = []
+    t = evaluate_image(gts, dets, word_spotting=True)
+    assert t.gt_care == 0
+    # But the detection-only path still counts it.
+    assert t.det_only_gt_care == 1
+
+
+def test_lexicon_correction():
+    lex = Lexicon(["STREET", "AVENUE"])
+    assert lex.correct("STREFT") == "STREET"
+    assert lex.correct("zzzzzz") == "zzzzzz"  # too far -> unchanged
+    d = weighted_edit_distance("abc", "abd", [0.9, 0.9, 0.1])
+    assert d < 1.0  # cheap substitution of low-confidence char
