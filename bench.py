@@ -1,0 +1,74 @@
+"""End-to-end spotting throughput benchmark (single chip).
+
+Runs the full jitted image -> words pipeline (ResNet50+FPN, rotated RPN,
+box+orientation head, rotated NMS, global/local fusion, recognizer decode)
+on the ICDAR15 eval configuration at 1280x736, and reports images/sec.
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
+therefore reported as null until a reference-GPU measurement exists.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from glass_tpu.config import get_cfg
+    from glass_tpu.models import GlassArch, glass_inference_single, init_glass_params
+
+    cfg = get_cfg(
+        os.path.join(os.path.dirname(__file__), "configs", "glass_finetune_icdar15.yaml")
+    )
+    # Reference eval-time overrides (tools/eval_glass.py:83-98).
+    cfg.INPUT.MIN_SIZE_TEST = 1000
+    cfg.INPUT.MAX_SIZE_TEST = 1600
+    arch = GlassArch.from_config(cfg)
+    params = init_glass_params(jax.random.PRNGKey(0), arch)
+
+    h, w = 736, 1280  # ICDAR15 720x1280 frames, shortest edge padded to /32
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(h, w, 3).astype(np.float32) * 255)
+    content_hw = jnp.asarray([720, 1280], np.int32)
+
+    fn = jax.jit(lambda p, im, hw: glass_inference_single(arch, p, im, hw))
+
+    def run_once():
+        out = fn(params, image, content_hw)
+        # Force a host fetch: block_until_ready does not reliably block on
+        # tunneled backends, so timing must include output materialization.
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    run_once()  # warmup / compile
+
+    n_iters = 20
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        run_once()
+    elapsed = time.perf_counter() - start
+    ips = n_iters / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_spotting_images_per_sec_single_chip",
+                "value": round(ips, 3),
+                "unit": "images/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

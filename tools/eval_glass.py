@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""GLASS-TPU evaluation CLI.
+
+Mirrors reference ``tools/eval_glass.py``: loads a model + config, applies
+the eval-time overrides the reference hardwires (``eval_glass.py:82-114`` —
+NMS 0.35, text-score 0.3, det-score 0.65, min-size 1000, mask inference on,
+orientation-overwrite off), runs inference over the test datasets and
+reports E2E + detection-only precision/recall/hmean under the official RRC
+protocol.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+logger = logging.getLogger("eval_glass")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate the GLASS-TPU text spotter")
+    p.add_argument("--model", required=False, default=None, help=".pth/orbax checkpoint")
+    p.add_argument("--config", required=True, help="model config yaml")
+    p.add_argument("--datasets", default=None, help="dataset config yaml")
+    p.add_argument("--output", default="./eval_output")
+    p.add_argument("--gt-zip", default=None, help="RRC gt zip (else gt from dataset json)")
+    p.add_argument("--word-spotting", action="store_true")
+    p.add_argument("--lexicon", default=None, help="lexicon txt file")
+    p.add_argument("--weighted-ed", action="store_true")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def setup(args):
+    from glass_tpu.config import get_cfg, merge_from_dataset_config
+    from glass_tpu.utils.logger import setup_logger
+
+    cfg = get_cfg(args.config)
+    if args.datasets:
+        merge_from_dataset_config(cfg, args.datasets)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    # Reference eval-time overrides (tools/eval_glass.py:82-114).
+    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.35
+    cfg.INFERENCE_TH_TEST = 0.3
+    cfg.INFERENCE_DETECTION_TH_TEST = 0.65
+    cfg.POST_PROCESSING.TEXT_THRESHOLD = 0.3
+    cfg.POST_PROCESSING.DETECT_THRESHOLD = 0.65
+    cfg.INPUT.MIN_SIZE_TEST = 1000
+    cfg.INPUT.MAX_SIZE_TEST = 1600
+    cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE = True
+    cfg.MODEL.ROI_ORIENTATION_HEAD.APPLY_TO_BOXES = False
+    setup_logger(output=args.output)
+    return cfg
+
+
+def main():
+    args = parse_args()
+    cfg = setup(args)
+
+    from glass_tpu.data import DatasetManager, DatasetMapper
+    from glass_tpu.evaluation import Lexicon, TextEvaluator
+    from glass_tpu.inference import GlassRunner
+
+    runner = GlassRunner(model_path=args.model, cfg=cfg)
+    lexicon = None
+    if args.lexicon:
+        lexicon = Lexicon.from_file(args.lexicon, weighted=args.weighted_ed)
+
+    DatasetManager(cfg).register()
+    all_results = {}
+    for dataset_name in cfg.DATASETS.TEST:
+        records = DatasetManager.load(dataset_name)
+        if args.max_images:
+            records = records[: args.max_images]
+        evaluator = TextEvaluator(
+            dataset_name,
+            cfg,
+            output_dir=args.output,
+            gt_zip=args.gt_zip,
+            word_spotting=args.word_spotting,
+            lexicon=lexicon,
+        )
+        t0 = time.time()
+        import cv2
+
+        for i, record in enumerate(records):
+            image = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
+            if image is None:
+                logger.warning("unreadable: %s", record["file_name"])
+                continue
+            preds = runner(image)
+            key = str(record.get("image_id", i))
+            evaluator.process(key, preds, gt_record=record)
+            if (i + 1) % 50 == 0:
+                rate = (i + 1) / (time.time() - t0)
+                logger.info("%s: %d/%d images (%.2f img/s)", dataset_name, i + 1, len(records), rate)
+        results = evaluator.evaluate()
+        all_results[dataset_name] = results
+        logger.info("%s results: %s", dataset_name, json.dumps(results, indent=2))
+
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "results.json"), "w") as f:
+        json.dump(all_results, f, indent=2)
+    print(json.dumps(all_results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
