@@ -100,7 +100,13 @@ class GlassArch:
 
     @classmethod
     def from_config(cls, cfg) -> "GlassArch":
-        rec = cfg.MODEL.ROI_RECOGNIZER_HEAD
+        # Legacy checkpoints configure the recognizer through the
+        # ROI_MASK_HEAD tree ("config duplication", reference
+        # glass/config.py:125; RecognizerRCNNHeadV2 wiring).
+        if cfg.MODEL.ROI_RECOGNIZER_HEAD.NAME == "RecognizerRCNNHeadV3":
+            rec = cfg.MODEL.ROI_RECOGNIZER_HEAD
+        else:
+            rec = cfg.MODEL.ROI_MASK_HEAD
         return cls(
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),

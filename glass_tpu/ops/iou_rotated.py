@@ -5,20 +5,19 @@ Replaces detectron2's C++/CUDA ``box_iou_rotated`` kernel (used from
 ``recognizers_hybrid_head.py:252`` and the rotated NMS family).
 
 The rectangle-intersection area uses the same construction as the reference
-dependency's CUDA kernel, but expressed as dense vectorized math with NO
-sequential clipping loop — the shape a TPU VPU wants:
+dependency's CUDA kernel — 16 edge-pair intersection points + 8 contained
+vertices, ordered by angle, integrated with a shoelace — but laid out for
+the TPU's (8, 128) vector registers: every per-candidate-point quantity is
+shaped ``(24, M, N)`` with the large pair axes minor-most, so the VPU lanes
+run across box pairs instead of across a padded 24-point axis.  The angular
+ordering is a single multi-operand ``lax.sort`` along the 24-axis.
 
-1. all 16 edge-pair intersection points (batched 2x2 solves),
-2. the 8 vertices of each rectangle contained in the other (half-plane
-   tests),
-3. the <= 24 candidate points sorted by angle around their centroid
-   (a single argsort) and integrated with a masked shoelace.
-
-Everything vmaps over box pairs, so an (M, N) IoU matrix is one fused
-elementwise program.
+Peak memory is bounded by chunking the M axis through ``lax.map``.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,92 +25,125 @@ import jax.numpy as jnp
 from .boxes import boxes_to_polygons
 
 _EPS = 1e-8
+_CHUNK = 128
 
 
-def _cross(ax, ay, bx, by):
-    return ax * by - ay * bx
+def _intersection_chunk(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Intersection areas for polygon chunks.
 
+    Args:
+        p1: (M, 4, 2) convex quads (interior on the positive-cross side of
+            each directed edge — the ``boxes_to_polygons`` order).
+        p2: (N, 4, 2).
 
-def _pair_intersection_area(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Intersection area of two convex quadrilaterals p, q: (4, 2) each.
-
-    Vertices must be ordered so the interior is on the positive-cross side
-    of each directed edge (the order ``boxes_to_polygons`` emits).
+    Returns:
+        (M, N) areas.
     """
-    pn = jnp.roll(p, -1, axis=0)
-    qn = jnp.roll(q, -1, axis=0)
-    dp = pn - p  # (4, 2) edge vectors of p
-    dq = qn - q
+    m, n = p1.shape[0], p2.shape[0]
+    # Coordinates laid out point-major: (4, M, 1) and (4, 1, N).
+    px = p1[:, :, 0].T[:, :, None]
+    py = p1[:, :, 1].T[:, :, None]
+    qx = p2[:, :, 0].T[:, None, :]
+    qy = p2[:, :, 1].T[:, None, :]
+    pnx = jnp.roll(px, -1, axis=0)
+    pny = jnp.roll(py, -1, axis=0)
+    qnx = jnp.roll(qx, -1, axis=0)
+    qny = jnp.roll(qy, -1, axis=0)
+    dpx, dpy = pnx - px, pny - py  # (4, M, 1)
+    dqx, dqy = qnx - qx, qny - qy  # (4, 1, N)
 
-    # --- 16 edge-edge intersections --------------------------------------
-    # p_i + t * dp_i == q_j + u * dq_j
-    px, py = p[:, 0][:, None], p[:, 1][:, None]       # (4, 1)
-    qx, qy = q[:, 0][None, :], q[:, 1][None, :]       # (1, 4)
-    dpx, dpy = dp[:, 0][:, None], dp[:, 1][:, None]
-    dqx, dqy = dq[:, 0][None, :], dq[:, 1][None, :]
-
-    rx, ry = qx - px, qy - py                          # (4, 4)
-    denom = _cross(dpx, dpy, dqx, dqy)                 # (4, 4)
+    # --- 16 edge-edge intersections: axes (4_p, 4_q, M, N) ----------------
+    rx = qx[None] - px[:, None]  # (4, 4, M, N)
+    ry = qy[None] - py[:, None]
+    a_dpx, a_dpy = dpx[:, None], dpy[:, None]
+    a_dqx, a_dqy = dqx[None], dqy[None]
+    denom = a_dpx * a_dqy - a_dpy * a_dqx
     safe = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
-    t = _cross(rx, ry, dqx, dqy) / safe
-    u = _cross(rx, ry, dpx, dpy) / safe
+    t = (rx * a_dqy - ry * a_dqx) / safe
+    u = (rx * a_dpy - ry * a_dpx) / safe
     inter_ok = (
         (jnp.abs(denom) >= _EPS)
         & (t >= -1e-6) & (t <= 1 + 1e-6)
         & (u >= -1e-6) & (u <= 1 + 1e-6)
     )
-    ix = px + t * dpx
-    iy = py + t * dpy
-    inter_pts = jnp.stack([ix.reshape(-1), iy.reshape(-1)], axis=-1)  # (16, 2)
-    inter_valid = inter_ok.reshape(-1)
+    ix = px[:, None] + t * a_dpx
+    iy = py[:, None] + t * a_dpy
 
-    # --- vertices of one rect inside the other ---------------------------
-    def contains(poly, poly_next, pts):
-        # interior on positive side of each directed edge
-        ex = (poly_next - poly)[:, 0][None, :]
-        ey = (poly_next - poly)[:, 1][None, :]
-        wx = pts[:, 0][:, None] - poly[:, 0][None, :]
-        wy = pts[:, 1][:, None] - poly[:, 1][None, :]
-        side = ex * wy - ey * wx
-        return jnp.all(side >= -1e-6, axis=1)
+    # --- containment tests ------------------------------------------------
+    # p's vertices inside q: side of (4_q edges) x (4_p points) -> (4p, M, N)
+    side_pq = (
+        a_dqx * (py[:, None] - qy[None]) - a_dqy * (px[:, None] - qx[None])
+    )  # (4p, 4q, M, N): cross(dq_j, p_i - q_j)
+    p_in_q = jnp.all(side_pq >= -1e-6, axis=1)  # (4, M, N)
+    # cross(dp_i, q_j - p_i) over all p edges i for each q point j:
+    side_qp = (
+        dpx[:, None] * (qy[None] - py[:, None]) - dpy[:, None] * (qx[None] - px[:, None])
+    )  # (4p_edges, 4q_points, M, N)
+    q_in_p = jnp.all(side_qp >= -1e-6, axis=0)  # (4, M, N)
 
-    p_in_q = contains(q, qn, p)  # (4,)
-    q_in_p = contains(p, pn, q)
+    # --- gather the 24 candidates ----------------------------------------
+    cand_x = jnp.concatenate(
+        [
+            ix.reshape(16, m, n),
+            jnp.broadcast_to(px, (4, m, n)),
+            jnp.broadcast_to(qx, (4, m, n)),
+        ],
+        axis=0,
+    )
+    cand_y = jnp.concatenate(
+        [
+            iy.reshape(16, m, n),
+            jnp.broadcast_to(py, (4, m, n)),
+            jnp.broadcast_to(qy, (4, m, n)),
+        ],
+        axis=0,
+    )
+    valid = jnp.concatenate([inter_ok.reshape(16, m, n), p_in_q, q_in_p], axis=0)
 
-    pts = jnp.concatenate([inter_pts, p, q], axis=0)          # (24, 2)
-    valid = jnp.concatenate([inter_valid, p_in_q, q_in_p])    # (24,)
+    count = jnp.sum(valid, axis=0)  # (M, N)
+    denom_c = jnp.maximum(count, 1).astype(cand_x.dtype)
+    cx = jnp.sum(jnp.where(valid, cand_x, 0.0), axis=0) / denom_c
+    cy = jnp.sum(jnp.where(valid, cand_y, 0.0), axis=0) / denom_c
 
-    n = jnp.sum(valid.astype(jnp.int32))
+    ang = jnp.arctan2(cand_y - cy, cand_x - cx)
+    ang = jnp.where(valid, ang, 1e9)
+    # Multi-operand sort along the candidate axis: one pass orders x and y.
+    _, sx, sy = jax.lax.sort((ang, cand_x, cand_y), dimension=0, num_keys=1)
 
-    # --- order by angle around the centroid, masked shoelace -------------
-    denom_n = jnp.maximum(n, 1).astype(pts.dtype)
-    centroid = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / denom_n
-    ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
-    ang = jnp.where(valid, ang, 1e9)  # invalid points sort last
-    order = jnp.argsort(ang)
-    sp = pts[order]
+    # Masked shoelace over the first `count` sorted points, with wraparound.
+    idx = jnp.arange(24)[:, None, None]
+    nxt_is_first = idx + 1 >= count[None]
+    sx_next = jnp.where(nxt_is_first, sx[0][None], jnp.roll(sx, -1, axis=0))
+    sy_next = jnp.where(nxt_is_first, sy[0][None], jnp.roll(sy, -1, axis=0))
+    cross = sx * sy_next - sx_next * sy
+    cross = jnp.where(idx < count[None], cross, 0.0)
+    area = 0.5 * jnp.abs(jnp.sum(cross, axis=0))
+    return jnp.where(count >= 3, area, 0.0)
 
-    idx = jnp.arange(24)
-    nxt = jnp.where(idx + 1 >= n, 0, idx + 1)
-    x, y = sp[:, 0], sp[:, 1]
-    cross = x * y[nxt] - x[nxt] * y
-    area = 0.5 * jnp.abs(jnp.sum(jnp.where(idx < n, cross, 0.0)))
-    return jnp.where(n >= 3, area, 0.0)
+
+def _pairwise_intersection_impl(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    p1 = boxes_to_polygons(boxes1.astype(jnp.float32))
+    p2 = boxes_to_polygons(boxes2.astype(jnp.float32))
+    m = p1.shape[0]
+    if m <= _CHUNK:
+        return _intersection_chunk(p1, p2)
+    pad = (-m) % _CHUNK
+    p1p = jnp.pad(p1, ((0, pad), (0, 0), (0, 0)))
+    chunks = p1p.reshape(-1, _CHUNK, 4, 2)
+    out = jax.lax.map(lambda c: _intersection_chunk(c, p2), chunks)
+    return out.reshape(-1, p2.shape[0])[:m]
 
 
 @jax.jit
 def pairwise_intersection_rotated(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """(M,5) x (N,5) XYWHA -> (M,N) intersection areas."""
-    p1 = boxes_to_polygons(boxes1.astype(jnp.float32))
-    p2 = boxes_to_polygons(boxes2.astype(jnp.float32))
-    fn = jax.vmap(jax.vmap(_pair_intersection_area, in_axes=(None, 0)), in_axes=(0, None))
-    return fn(p1, p2)
+    return _pairwise_intersection_impl(boxes1, boxes2)
 
 
 @jax.jit
 def pairwise_iou_rotated(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """(M,5) x (N,5) XYWHA -> (M,N) IoU, detectron2-compatible semantics."""
-    inter = pairwise_intersection_rotated(boxes1, boxes2)
+    inter = _pairwise_intersection_impl(boxes1, boxes2)
     a1 = (boxes1[:, 2] * boxes1[:, 3])[:, None]
     a2 = (boxes2[:, 2] * boxes2[:, 3])[None, :]
     union = a1 + a2 - inter

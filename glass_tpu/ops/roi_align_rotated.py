@@ -16,8 +16,12 @@ Semantics follow the detectron2 kernel exactly:
 * bilinear taps outside ``[-1, H]``/``[-1, W]`` contribute zero; coordinates
   are clamped to the array as in the reference kernel.
 
-Differentiable end-to-end: the gather formulation autodiffs to scatter-adds,
-giving the custom backward the reference implements by hand in CUDA.
+TPU layout: all per-sample quantities are flat ``(R, S)`` arrays with the
+large sample axis minor-most (S = ph*pw*g*g), and the bilinear reads gather
+along a flattened channel-major ``(C, H*W)`` image so the vector lanes run
+across samples — small grids or small channel counts never get padded onto
+the 128-lane axis.  Differentiable end-to-end (gather autodiffs to
+scatter-add, the custom backward the reference implements by hand in CUDA).
 """
 
 from __future__ import annotations
@@ -26,36 +30,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-
-
-def _bilinear_gather(flat_img, y, x, height, width, channels):
-    """Bilinear sample of flattened (H*W, C) image at float coords (y, x)."""
-    outside = (y < -1.0) | (y > height) | (x < -1.0) | (x > width)
-    y = jnp.clip(y, 0.0, None)
-    x = jnp.clip(x, 0.0, None)
-    y_low = jnp.floor(y).astype(jnp.int32)
-    x_low = jnp.floor(x).astype(jnp.int32)
-    y_low = jnp.minimum(y_low, height - 1)
-    x_low = jnp.minimum(x_low, width - 1)
-    y_high = jnp.minimum(y_low + 1, height - 1)
-    x_high = jnp.minimum(x_low + 1, width - 1)
-    y = jnp.where(y_low >= height - 1, y_low.astype(y.dtype), y)
-    x = jnp.where(x_low >= width - 1, x_low.astype(x.dtype), x)
-
-    ly = y - y_low
-    lx = x - x_low
-    hy, hx = 1.0 - ly, 1.0 - lx
-
-    def take(yy, xx):
-        return flat_img[yy * width + xx]
-
-    v = (
-        take(y_low, x_low) * (hy * hx)[..., None]
-        + take(y_low, x_high) * (hy * lx)[..., None]
-        + take(y_high, x_low) * (ly * hx)[..., None]
-        + take(y_high, x_high) * (ly * lx)[..., None]
-    )
-    return jnp.where(outside[..., None], 0.0, v)
 
 
 @partial(
@@ -86,77 +60,110 @@ def roi_align_rotated(
         spatial_scale: feature stride reciprocal.
         sampling_ratio: taps per bin side; 0 means adaptive
             (``ceil(roi_extent / pooled_extent)``, capped at
-            ``max_sampling_ratio`` to keep shapes static).
-        aligned: use the half-pixel offset (detectron2 ``ROIAlignRotated``
-            is always aligned).
+            ``max_sampling_ratio``).
 
     Returns:
         (R, pooled_h, pooled_w, C) pooled features.
     """
     pooled_h, pooled_w = output_size
-    height, width = features.shape[0], features.shape[1]
-    channels = features.shape[2]
-    flat = features.reshape(height * width, channels)
+    height, width, channels = features.shape
+    rois = rois.astype(jnp.float32)
     offset = 0.5 if aligned else 0.0
+    g = sampling_ratio if sampling_ratio > 0 else max_sampling_ratio
 
-    grid = sampling_ratio if sampling_ratio > 0 else max_sampling_ratio
+    cx = rois[:, 0] * spatial_scale - offset  # (R,)
+    cy = rois[:, 1] * spatial_scale - offset
+    rw = rois[:, 2] * spatial_scale
+    rh = rois[:, 3] * spatial_scale
+    theta = rois[:, 4] * jnp.pi / 180.0
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
 
-    def pool_one(roi):
-        cx = roi[0] * spatial_scale - offset
-        cy = roi[1] * spatial_scale - offset
-        rw = roi[2] * spatial_scale
-        rh = roi[3] * spatial_scale
-        theta = roi[4] * jnp.pi / 180.0
-        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    bin_h = rh / pooled_h  # (R,)
+    bin_w = rw / pooled_w
+    if sampling_ratio > 0:
+        g_h = jnp.full_like(bin_h, sampling_ratio)
+        g_w = jnp.full_like(bin_w, sampling_ratio)
+    else:
+        g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, g)
+        g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, g)
 
-        bin_h = rh / pooled_h
-        bin_w = rw / pooled_w
-        if sampling_ratio > 0:
-            g_h = jnp.int32(sampling_ratio)
-            g_w = jnp.int32(sampling_ratio)
-        else:
-            g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, grid).astype(jnp.int32)
-            g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, grid).astype(jnp.int32)
+    # Flat sample coordinates: (R, S) with S = ph*pw*g*g minor-most.
+    ph = jnp.arange(pooled_h, dtype=jnp.float32)
+    pw = jnp.arange(pooled_w, dtype=jnp.float32)
+    gi = jnp.arange(g, dtype=jnp.float32)
 
-        ph = jnp.arange(pooled_h, dtype=features.dtype)
-        pw = jnp.arange(pooled_w, dtype=features.dtype)
-        iy = jnp.arange(grid, dtype=features.dtype)
-        ix = jnp.arange(grid, dtype=features.dtype)
+    # roi-frame offsets, broadcast over (R, ph, pw, g, g) then flattened.
+    yy = (
+        -rh[:, None, None] / 2.0
+        + ph[None, :, None] * bin_h[:, None, None]
+        + (gi[None, None, :] + 0.5) * bin_h[:, None, None] / g_h[:, None, None]
+    )  # (R, ph, g)
+    xx = (
+        -rw[:, None, None] / 2.0
+        + pw[None, :, None] * bin_w[:, None, None]
+        + (gi[None, None, :] + 0.5) * bin_w[:, None, None] / g_w[:, None, None]
+    )  # (R, pw, g)
 
-        # Sample coordinates in the roi frame, relative to the roi center.
-        yy = (
-            -rh / 2.0
-            + ph[:, None] * bin_h
-            + (iy[None, :] + 0.5) * bin_h / g_h.astype(features.dtype)
-        )  # (pooled_h, grid)
-        xx = (
-            -rw / 2.0
-            + pw[:, None] * bin_w
-            + (ix[None, :] + 0.5) * bin_w / g_w.astype(features.dtype)
-        )  # (pooled_w, grid)
+    r = rois.shape[0]
+    s = pooled_h * pooled_w * g * g
+    yy_f = jnp.broadcast_to(
+        yy[:, :, None, :, None], (r, pooled_h, pooled_w, g, g)
+    ).reshape(r, s)
+    xx_f = jnp.broadcast_to(
+        xx[:, None, :, None, :], (r, pooled_h, pooled_w, g, g)
+    ).reshape(r, s)
 
-        # Rotate into image frame (detectron2 kernel convention).
-        y = (
-            yy[:, None, :, None] * cos_t
-            - xx[None, :, None, :] * sin_t
-            + cy
-        )  # (ph, pw, gh, gw)
-        x = (
-            yy[:, None, :, None] * sin_t
-            + xx[None, :, None, :] * cos_t
-            + cx
-        )
+    y = yy_f * cos_t[:, None] - xx_f * sin_t[:, None] + cy[:, None]  # (R, S)
+    x = yy_f * sin_t[:, None] + xx_f * cos_t[:, None] + cx[:, None]
 
-        vals = _bilinear_gather(flat, y, x, height, width, channels)
-        mask = (
-            (jnp.arange(grid) < g_h)[None, None, :, None]
-            & (jnp.arange(grid) < g_w)[None, None, None, :]
-        )
-        vals = jnp.where(mask[..., None], vals, 0.0)
-        count = (g_h * g_w).astype(features.dtype)
-        return jnp.sum(vals, axis=(2, 3)) / count
+    # detectron2 boundary handling.
+    outside = (y < -1.0) | (y > height) | (x < -1.0) | (x > width)
+    y = jnp.clip(y, 0.0, None)
+    x = jnp.clip(x, 0.0, None)
+    y_low = jnp.minimum(jnp.floor(y).astype(jnp.int32), height - 1)
+    x_low = jnp.minimum(jnp.floor(x).astype(jnp.int32), width - 1)
+    y_high = jnp.minimum(y_low + 1, height - 1)
+    x_high = jnp.minimum(x_low + 1, width - 1)
+    y = jnp.where(y_low >= height - 1, y_low.astype(y.dtype), y)
+    x = jnp.where(x_low >= width - 1, x_low.astype(x.dtype), x)
+    ly = y - y_low
+    lx = x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
 
-    return jax.vmap(pool_one)(rois.astype(features.dtype))
+    # Per-bin sampling mask and normalization.
+    grid_mask = (
+        (gi[None, :, None] < g_h[:, None, None])
+        & (gi[None, None, :] < g_w[:, None, None])
+    )  # (R, g, g)
+    mask_f = jnp.broadcast_to(
+        grid_mask[:, None, None, :, :], (r, pooled_h, pooled_w, g, g)
+    ).reshape(r, s)
+    count = (g_h * g_w).astype(features.dtype)  # (R,)
+
+    w00 = jnp.where(outside | ~mask_f, 0.0, hy * hx) / count[:, None]
+    w01 = jnp.where(outside | ~mask_f, 0.0, hy * lx) / count[:, None]
+    w10 = jnp.where(outside | ~mask_f, 0.0, ly * hx) / count[:, None]
+    w11 = jnp.where(outside | ~mask_f, 0.0, ly * lx) / count[:, None]
+
+    i00 = (y_low * width + x_low).reshape(-1)  # (R*S,)
+    i01 = (y_low * width + x_high).reshape(-1)
+    i10 = (y_high * width + x_low).reshape(-1)
+    i11 = (y_high * width + x_high).reshape(-1)
+
+    # Row-major gather: (H*W, C)[(R*S,)] -> (R*S, C).  Rows are contiguous
+    # C-sized blocks (sequential reads) and the lane axis carries C.
+    flat = features.reshape(height * width, channels)
+
+    acc = (
+        flat[i00] * w00.reshape(-1, 1).astype(features.dtype)
+        + flat[i01] * w01.reshape(-1, 1).astype(features.dtype)
+        + flat[i10] * w10.reshape(-1, 1).astype(features.dtype)
+        + flat[i11] * w11.reshape(-1, 1).astype(features.dtype)
+    )  # (R*S, C)
+
+    # Sum the g*g samples of each bin: (R, ph*pw, g*g, C) -> (R, ph*pw, C).
+    acc = acc.reshape(r, pooled_h * pooled_w, g * g, channels).sum(axis=2)
+    return acc.reshape(r, pooled_h, pooled_w, channels)
 
 
 def roi_align_rotated_batched(
