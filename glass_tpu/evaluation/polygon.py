@@ -78,17 +78,46 @@ def _raster_intersection(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.logical_and(mp, mq).sum()) / (scale * scale)
 
 
+def _native():
+    from ..native import load_polyclip
+
+    return load_polyclip()
+
+
 def polygon_intersection_area(p: np.ndarray, q: np.ndarray) -> float:
     p = np.asarray(p, np.float64).reshape(-1, 2)
     q = np.asarray(q, np.float64).reshape(-1, 2)
     if len(p) < 3 or len(q) < 3:
         return 0.0
+    lib = _native()
+    if lib is not None:
+        # Exact for arbitrary simple polygons (signed fan triangulation).
+        return float(lib.intersection_area(p, q))
     if is_convex(p) and is_convex(q):
         inter = _clip(p, q)
         return polygon_area(inter) if len(inter) >= 3 else 0.0
-    # Concave pairs (curved-text masks): rasterized intersection — the
+    # Concave pairs without the native library: rasterized fallback — the
     # Sutherland–Hodgman clip is only exact for convex clip regions.
     return _raster_intersection(p, q)
+
+
+def pairwise_polygon_iou(polys_p, polys_q) -> np.ndarray:
+    """(list of (*,2)) x (list of (*,2)) -> (P, Q) IoU matrix.
+
+    Uses the native batched path when available (one C call for the whole
+    matrix — the per-image hot loop of dataset evaluation).
+    """
+    lib = _native()
+    if lib is not None and polys_p and polys_q:
+        return lib.pairwise_iou(
+            [np.asarray(p, np.float64).reshape(-1, 2) for p in polys_p],
+            [np.asarray(q, np.float64).reshape(-1, 2) for q in polys_q],
+        )
+    out = np.zeros((len(polys_p), len(polys_q)))
+    for i, p in enumerate(polys_p):
+        for j, q in enumerate(polys_q):
+            out[i, j] = polygon_iou(p, q)
+    return out
 
 
 def polygon_iou(p: np.ndarray, q: np.ndarray) -> float:

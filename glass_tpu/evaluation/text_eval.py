@@ -24,7 +24,12 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 import Levenshtein
 
-from .polygon import polygon_area, polygon_iou, polygon_intersection_area
+from .polygon import (
+    polygon_area,
+    polygon_iou,
+    polygon_intersection_area,
+    pairwise_polygon_iou,
+)
 
 SPECIAL_CHARACTERS = "!?.:,*\"()·[]/'"
 MIN_LENGTH_CARE_WORD = 3
@@ -149,10 +154,9 @@ def evaluate_image(
     n_gt, n_det = len(gts), len(dets)
     det_correct = det_only_correct = 0
     if n_gt and n_det:
-        iou = np.zeros((n_gt, n_det))
-        for i in range(n_gt):
-            for j in range(n_det):
-                iou[i, j] = polygon_iou(dets[j].points, gts[i].points)
+        iou = pairwise_polygon_iou(
+            [g.points for g in gts], [d.points for d in dets]
+        )
 
         gt_matched = np.zeros(n_gt, bool)
         det_matched = np.zeros(n_det, bool)
