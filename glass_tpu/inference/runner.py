@@ -75,6 +75,7 @@ class GlassRunner:
         self._jit_fn = jax.jit(
             lambda p, img, hw: glass_inference_single(self.arch, p, img, hw)
         )
+        self._jit_given_boxes = None
         # GlassRCNN._postprocess knobs (reference glass_rcnn.py:35-55).
         pp = self.cfg.POST_PROCESSING
         self.filter_small_boxes = pp.MIN_BOX_DIMENSION
@@ -173,6 +174,67 @@ class GlassRunner:
             preds = self.post_processor(preds)
             logger.info("Post-processing output is %d word instances", len(preds))
         return preds
+
+    def forward_with_given_boxes(self, image: np.ndarray, instances: Instances) -> Instances:
+        """Run the recognizer (+mask) branches on externally provided boxes
+        (reference ``forward_with_given_boxes``; used by TTA)."""
+        from ..models.context import Ctx
+        from ..models.glass_rcnn import (
+            preprocess,
+            backbone_features,
+            recognize_single_image,
+            mask_single_image,
+        )
+        import jax.numpy as jnp
+
+        scale_ratio = self.get_inference_scale_ratio(image.shape)
+        if scale_ratio != 1:
+            nh = int(np.round(scale_ratio * image.shape[0]))
+            nw = int(np.round(scale_ratio * image.shape[1]))
+            resized = cv2.resize(image.astype(np.float32), (nw, nh))
+        else:
+            resized = image.astype(np.float32)
+        h, w = resized.shape[:2]
+        bh, bw = self._pick_bucket(h, w)
+        padded = np.zeros((bh, bw, 3), np.float32)
+        padded[:h, :w] = resized
+
+        d = self.cfg.TEST.DETECTIONS_PER_IMAGE
+        n = min(len(instances), d)
+        boxes = np.zeros((d, 5), np.float32)
+        boxes[:, 2:4] = 1.0
+        if n:
+            boxes[:n] = scale_rotated_np(
+                np.asarray(instances.pred_boxes)[:n], scale_ratio, scale_ratio
+            )
+
+        if self._jit_given_boxes is None:
+            arch = self.arch
+
+            def fn(params, img, bx):
+                ctx = Ctx(train=False)
+                norm = preprocess(arch, img)
+                feats = backbone_features(ctx, arch, params, norm[None])
+                out = {
+                    "text_probs": recognize_single_image(ctx, arch, params, feats, norm, bx)
+                }
+                if arch.mask_on and arch.mask_inference:
+                    out["mask_probs"] = mask_single_image(
+                        ctx, arch, params, feats, bx,
+                        jnp.zeros((bx.shape[0],), jnp.int32),
+                    )
+                return out
+
+            self._jit_given_boxes = jax.jit(fn)
+
+        out = self._jit_given_boxes(self.params, jnp.asarray(padded), jnp.asarray(boxes))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        instances = instances[np.arange(n)]
+        instances.pred_text_prob = out["text_probs"][:n]
+        if "mask_probs" in out:
+            instances.pred_masks = out["mask_probs"][:n]
+            instances.pred_rboxes = np.asarray(instances.pred_boxes)
+        return instances
 
     def decode_texts(self, preds: Instances):
         from ..text import decode_topk_probs
