@@ -90,6 +90,7 @@ class GlassArch:
     max_word_len: int = 25
     vocab_size: int = 97
     gc_headers: int = 8
+    pooler_pad: str = ""  # "" | "FeatPadV2"
     # Mask
     mask_on: bool = True
     mask_inference: bool = False
@@ -138,6 +139,7 @@ class GlassArch:
             max_word_len=rec.MAX_WORD_LENGTH,
             vocab_size=len(rec.CHARACTER_SET) + 2,
             gc_headers=cfg.MODEL.HYBRID_FUSION.HEADERS,
+            pooler_pad=rec.RECOGNIZER_HEAD.POOLER_PAD.NAME,
             mask_on=cfg.MODEL.MASK_ON,
             mask_inference=cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE,
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
@@ -350,10 +352,20 @@ def recognize_single_image(
     fused = p2p3_fusion_apply(ctx, rh["recognizer_feature_fusion"], p2, p3)[0]
 
     pool_hw = arch.recognizer_pool_hw
+    if arch.pooler_pad == "FeatPadV2":
+        from .pooler_pad import feat_pad_v2_boxes, feat_pad_v2_mask
+
+        pool_boxes, pad_ratio = feat_pad_v2_boxes(boxes, pool_hw)
+    else:
+        pool_boxes, pad_ratio = boxes, None
     global_feats = roi_align_rotated(
-        fused, boxes, pool_hw, spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
+        fused, pool_boxes, pool_hw, spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
         sampling_ratio=0,
     )
+    if pad_ratio is not None:
+        from .pooler_pad import feat_pad_v2_mask
+
+        global_feats = feat_pad_v2_mask(global_feats, pad_ratio)
     crops = roi_align_rotated(
         norm_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
         sampling_ratio=arch.img_crop_sampling_ratio,
