@@ -1,0 +1,52 @@
+"""Pallas RoIAlign vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from glass_tpu.ops.roi_align_rotated import roi_align_rotated
+from glass_tpu.ops.pallas_roi_align import roi_align_rotated_pallas
+
+
+def _rois():
+    return np.array(
+        [
+            [60.0, 40.0, 30.0, 14.0, 0.0],
+            [60.0, 40.0, 30.0, 14.0, 30.0],
+            [30.0, 30.0, 24.0, 10.0, -75.0],
+            [100.0, 50.0, 18.0, 18.0, 120.0],
+        ],
+        np.float32,
+    )
+
+
+@pytest.mark.parametrize("sampling_ratio", [2, 0])
+def test_pallas_matches_xla(rng, sampling_ratio):
+    feat = rng.randn(64, 128, 8).astype(np.float32)
+    rois = _rois()
+    ref = np.asarray(
+        roi_align_rotated(jnp.asarray(feat), jnp.asarray(rois), (7, 7),
+                          spatial_scale=0.5, sampling_ratio=sampling_ratio)
+    )
+    got = np.asarray(
+        roi_align_rotated_pallas(jnp.asarray(feat), jnp.asarray(rois), (7, 7),
+                                 spatial_scale=0.5, sampling_ratio=sampling_ratio,
+                                 tile=(48, 48))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_pallas_small_map_padding(rng):
+    feat = rng.randn(16, 20, 4).astype(np.float32)
+    rois = np.array([[20.0, 14.0, 16.0, 8.0, 15.0]], np.float32)
+    ref = np.asarray(
+        roi_align_rotated(jnp.asarray(feat), jnp.asarray(rois), (4, 4),
+                          spatial_scale=1.0, sampling_ratio=2)
+    )
+    got = np.asarray(
+        roi_align_rotated_pallas(jnp.asarray(feat), jnp.asarray(rois), (4, 4),
+                                 spatial_scale=1.0, sampling_ratio=2,
+                                 tile=(48, 48))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
