@@ -49,9 +49,11 @@ def _kernel(
     r = pl.program_id(0)
     y0 = corners_ref[r, 0]
     x0 = corners_ref[r, 1]
+    # The host aligns x0 to the sublane tiling; Mosaic needs the proof hint.
+    x0_aligned = pl.multiple_of(x0, 8)
 
     dma = pltpu.make_async_copy(
-        feat_ref.at[pl.ds(y0, tile_h), pl.ds(x0, tile_w), :], tile_ref, sem
+        feat_ref.at[pl.ds(y0, tile_h), pl.ds(x0_aligned, tile_w), :], tile_ref, sem
     )
     dma.start()
 
@@ -148,7 +150,7 @@ def roi_align_rotated_pallas(
     spatial_scale: float = 1.0,
     sampling_ratio: int = 0,
     max_sampling_ratio: int = 4,
-    tile: tuple = (48, 48),
+    tile: tuple = (48, 56),
 ) -> jnp.ndarray:
     """Drop-in for ``roi_align_rotated`` on bounded-extent rois.
 
@@ -174,13 +176,16 @@ def roi_align_rotated_pallas(
         g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, grid_n)
         g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, grid_n)
 
-    # AABB corner, clamped so the static tile stays in bounds.
+    # AABB corner, clamped so the static tile stays in bounds.  The W axis
+    # is sublane-tiled (8) in the HBM layout, so the DMA slice start on it
+    # must be 8-aligned; tile_w carries +8 slack to keep coverage.
     half_h = (jnp.abs(cos_t) * rh + jnp.abs(sin_t) * rw) * 0.5
     half_w = (jnp.abs(sin_t) * rh + jnp.abs(cos_t) * rw) * 0.5
     y0 = jnp.floor(cy - half_h) - 1.0
     x0 = jnp.floor(cx - half_w) - 1.0
     y0 = jnp.clip(y0, 0.0, max(height - tile_h, 0)).astype(jnp.int32)
     x0 = jnp.clip(x0, 0.0, max(width - tile_w, 0)).astype(jnp.int32)
+    x0 = (x0 // 8) * 8
     corners = jnp.stack([y0, x0], axis=1)
 
     roi_params = jnp.stack([cx, cy, rw, rh, cos_t, sin_t, g_h, g_w], axis=1)

@@ -51,7 +51,7 @@ def make_parallel_train_step(
     Returns step(params, opt_state, batch, key) -> (params, opt_state,
     metrics) with gradients pmean-ed over the data axis.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax.shard_map import shard_map
 
     from ..train.optimizer import apply_bn_updates
 

@@ -1,0 +1,81 @@
+"""End-to-end Trainer integration on a synthetic dataset (tiny, CPU mesh)."""
+
+import json
+import os
+
+import numpy as np
+import cv2
+import pytest
+
+from glass_tpu.config import get_cfg
+
+
+def _make_dataset(tmp_path, n_images=4):
+    root = tmp_path / "ds"
+    (root / "toy_train").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    aid = 1
+    for i in range(n_images):
+        h, w = 80, 96
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "toy_train" / f"img_{i}.png"), img)
+        images.append({"id": i + 1, "file_name": f"img_{i}.png", "height": h, "width": w})
+        for _ in range(2):
+            cx, cy = rng.uniform(25, w - 25), rng.uniform(20, h - 20)
+            bw, bh = rng.uniform(16, 30), rng.uniform(8, 12)
+            quad = [
+                [cx - bw / 2, cy - bh / 2], [cx + bw / 2, cy - bh / 2],
+                [cx + bw / 2, cy + bh / 2], [cx - bw / 2, cy + bh / 2],
+            ]
+            annotations.append({
+                "id": aid, "image_id": i + 1, "category_id": 1,
+                "bbox": [cx - bw / 2, cy - bh / 2, bw, bh],
+                "rotated_box": quad,
+                "segmentation": [[c for pt in quad for c in pt]],
+                "rec": "hi", "angle": 0, "orientation": 0,
+                "area": bw * bh, "iscrowd": 0,
+            })
+            aid += 1
+    with open(root / "toy_train" / "annotations.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "word"}]}, f)
+    return str(root)
+
+
+def test_trainer_runs_steps_and_checkpoints(tmp_path):
+    import jax
+
+    root = _make_dataset(tmp_path)
+    cfg = get_cfg(os.path.join(os.path.dirname(__file__), "..", "configs",
+                               "glass_finetune_icdar15.yaml"))
+    cfg.DATASETS.TRAIN = ["toy_train"]
+    cfg.DATASETS.ROOT = root
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.INPUT.MIN_SIZE_TRAIN = (64, 80)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_WORD_LENGTH = 5
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_BATCH_SIZE = 2
+    cfg.TPU.MAX_GT_INSTANCES = 8
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+
+    from glass_tpu.train import Trainer
+    from glass_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:2])
+    trainer = Trainer(cfg, mesh=mesh)
+    trainer.train(max_iter=2)
+    # Final checkpoint saved
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "last_checkpoint"))
+
+    # Resume path restores the iteration counter.
+    trainer2 = Trainer(cfg, mesh=mesh)
+    trainer2.resume_or_load(resume=True)
+    assert trainer2.start_iter == 2
