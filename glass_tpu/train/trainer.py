@@ -101,6 +101,76 @@ class Trainer:
         )
         logger.info("Saved checkpoint at iteration %d", iteration)
 
+    # -- periodic evaluation ----------------------------------------------
+    def test(self, max_images: Optional[int] = None):
+        """Evaluate the current params on cfg.DATASETS.TEST (rank 0 only).
+
+        The reference runs TextEvaluator every TEST.EVAL_PERIOD iterations
+        (glass_pretrain.yaml:139); this is the same in-training oracle, and
+        also prints a pred-vs-gt transcription sample table (the reference's
+        print_text_pred_examples affordance).
+        """
+        if jax.process_index() != 0 or not self.cfg.DATASETS.TEST:
+            return {}
+        import cv2
+
+        from ..data import DatasetManager
+        from ..evaluation import TextEvaluator
+        from ..inference import GlassRunner
+        from ..text import decode_topk_probs
+
+        runner = GlassRunner(model_path=None, cfg=self.cfg, params=self.params)
+        results = {}
+        for name in self.cfg.DATASETS.TEST:
+            records = DatasetManager.load(name)
+            if max_images:
+                records = records[:max_images]
+            evaluator = TextEvaluator(name, self.cfg)
+            shown = 0
+            for i, record in enumerate(records):
+                image = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
+                if image is None:
+                    continue
+                preds = runner(image)
+                evaluator.process(str(record.get("image_id", i)), preds, record)
+                if shown < 1 and len(preds):
+                    texts, scores, _ = decode_topk_probs(
+                        np.asarray(preds.pred_text_prob), runner.codec
+                    )
+                    gt = [a.get("text", "") for a in record.get("annotations", [])][:7]
+                    logger.info(
+                        "sample preds: %s | gt: %s",
+                        [f"{t}({s:.2f})" for t, s in zip(texts[:7], scores[:7])],
+                        gt,
+                    )
+                    shown += 1
+            results[name] = evaluator.evaluate()
+            for metric_group, vals in results[name].items():
+                for k, v in vals.items():
+                    self.storage.put_scalar(f"{name}/{metric_group}/{k}", v)
+        return results
+
+    def _maybe_visualize(self, it: int, batch: dict):
+        """VIS_PERIOD minibatch dump (reference glass_pretrain.yaml:144-146):
+        write the first image of the batch with its gt boxes drawn."""
+        period = self.cfg.VIS_PERIOD
+        if not period or it % period != 0:
+            return
+        try:
+            import cv2
+
+            img = np.asarray(batch["images"][0]).astype(np.uint8).copy()
+            boxes = np.asarray(batch["gt_boxes"][0])
+            valid = np.asarray(batch["gt_valid"][0])
+            from ..postprocess.np_geometry import boxes_to_polygons_np
+
+            polys = boxes_to_polygons_np(boxes[valid]).astype(np.int32)
+            cv2.polylines(img, list(polys), True, (0, 255, 0), 1)
+            out = os.path.join(self.out_dir, f"vis_{it:07d}.png")
+            cv2.imwrite(out, img)
+        except Exception as e:  # never break training for a debug image
+            logger.debug("vis dump failed: %s", e)
+
     # -- loop --------------------------------------------------------------
     def _install_signal_handler(self):
         def handler(signum, frame):
@@ -118,9 +188,12 @@ class Trainer:
         loader = self.build_train_loader()
         self._install_signal_handler()
         ckpt_period = self.cfg.SOLVER.CHECKPOINT_PERIOD
+        eval_period = self.cfg.TEST.EVAL_PERIOD
         t0 = time.time()
         for it in range(self.start_iter, max_iter):
-            batch = shard_batch(self.mesh, next(loader))
+            host_batch = next(loader)
+            self._maybe_visualize(it, host_batch)
+            batch = shard_batch(self.mesh, host_batch)
             key = jax.random.fold_in(self._rng, it)
             self.params, self.opt_state, metrics = self.step_fn(
                 self.params, self.opt_state, batch, key
@@ -142,6 +215,11 @@ class Trainer:
                 t0 = time.time()
             if ckpt_period and it > 0 and it % ckpt_period == 0:
                 self.save(it)
+            if eval_period and it > 0 and it % eval_period == 0:
+                try:
+                    self.test()
+                except Exception as e:
+                    logger.warning("periodic eval failed: %s", e)
             if self._interrupted:
                 self.save(it)
                 logger.warning("Exiting on signal at iteration %d", it)
