@@ -43,18 +43,23 @@ def _run():
 
     fn = jax.jit(lambda p, im, hw: glass_inference_single(arch, p, im, hw))
 
-    def run_once():
-        out = fn(params, image, content_hw)
-        # Force a host fetch: block_until_ready does not reliably block on
-        # tunneled backends, so timing must include output materialization.
+    def fetch(out):
+        # block_until_ready does not reliably block on tunneled backends;
+        # materializing an output is the only true barrier.
         return jax.tree_util.tree_map(np.asarray, out)
 
-    run_once()  # warmup / compile
+    fetch(fn(params, image, content_hw))  # warmup / compile
 
-    n_iters = 10
+    # Steady-state throughput: dispatch the whole window asynchronously and
+    # materialize only the final output (same-stream ordering makes the last
+    # fetch a barrier for all prior steps).  Per-call host fetches would
+    # measure the tunnel (~30 ms/fetch), not the chip.
+    n_iters = 20
     start = time.perf_counter()
+    out = None
     for _ in range(n_iters):
-        run_once()
+        out = fn(params, image, content_hw)
+    fetch(out)
     elapsed = time.perf_counter() - start
     return n_iters / elapsed
 
