@@ -76,6 +76,7 @@ class GlassRunner:
             lambda p, img, hw: glass_inference_single(self.arch, p, img, hw)
         )
         self._jit_given_boxes = None
+        self._jit_batch_fns = {}
         # GlassRCNN._postprocess knobs (reference glass_rcnn.py:35-55).
         pp = self.cfg.POST_PROCESSING
         self.filter_small_boxes = pp.MIN_BOX_DIMENSION
@@ -130,6 +131,51 @@ class GlassRunner:
             inst.pred_rboxes = out["boxes"][valid]
         return inst
 
+    def run_batch_on_resized(self, images: List[np.ndarray]) -> List[Instances]:
+        """Batched inference over same-bucket resized images (one vmapped
+        jit call) — the eval-throughput path; amortizes per-dispatch cost."""
+        if not images:
+            return []
+        bh = max(self._pick_bucket(*im.shape[:2])[0] for im in images)
+        bw = max(self._pick_bucket(*im.shape[:2])[1] for im in images)
+        b = len(images)
+        padded = np.zeros((b, bh, bw, 3), np.float32)
+        hws = np.zeros((b, 2), np.int32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            padded[i, :h, :w] = im
+            hws[i] = (h, w)
+
+        key = (b, bh, bw)
+        if key not in self._jit_batch_fns:
+            arch = self.arch
+            self._jit_batch_fns[key] = jax.jit(
+                jax.vmap(
+                    lambda p, img, hw: glass_inference_single(arch, p, img, hw),
+                    in_axes=(None, 0, 0),
+                )
+            )
+        out = self._jit_batch_fns[key](self.params, jnp.asarray(padded), jnp.asarray(hws))
+        out = jax.tree_util.tree_map(np.asarray, out)
+
+        results = []
+        for i, im in enumerate(images):
+            valid = out["valid"][i]
+            inst = Instances(
+                tuple(hws[i]),
+                pred_boxes=out["boxes"][i][valid],
+                scores=out["scores"][i][valid],
+                pred_classes=out["classes"][i][valid],
+                orientations=out["orientations"][i][valid],
+            )
+            if "text_probs" in out:
+                inst.pred_text_prob = out["text_probs"][i][valid]
+            if "mask_probs" in out:
+                inst.pred_masks = out["mask_probs"][i][valid]
+                inst.pred_rboxes = out["boxes"][i][valid]
+            results.append(inst)
+        return results
+
     def _model_postprocess(self, preds: Instances, height: int, width: int) -> Instances:
         """GlassRCNN._postprocess (reference glass_rcnn.py:103-128)."""
         if self.filter_small_boxes:
@@ -174,6 +220,45 @@ class GlassRunner:
             preds = self.post_processor(preds)
             logger.info("Post-processing output is %d word instances", len(preds))
         return preds
+
+    def batch_call(self, original_images: List[np.ndarray], batch_size: int = 8) -> List[Instances]:
+        """Full-pipeline batched inference: per-image resize rules, grouped
+        vmapped model calls, per-image post-processing."""
+        prepped = []
+        for img in original_images:
+            if self.input_format == "RGB":
+                img = img[:, :, ::-1]
+            if self.input_format == "GREY":
+                img = rgb2grey(img, three_channels=True)
+            scale = self.get_inference_scale_ratio(img.shape)
+            if scale != 1:
+                nh = int(np.round(scale * img.shape[0]))
+                nw = int(np.round(scale * img.shape[1]))
+                resized = cv2.resize(img.astype(np.float32), (nw, nh))
+            else:
+                resized = img.astype(np.float32)
+            prepped.append((resized, scale, img.shape[:2]))
+
+        results: List[Optional[Instances]] = [None] * len(prepped)
+        # Group by bucket so each jit signature is shared.
+        order = sorted(
+            range(len(prepped)), key=lambda i: self._pick_bucket(*prepped[i][0].shape[:2])
+        )
+        for start in range(0, len(order), batch_size):
+            idxs = order[start : start + batch_size]
+            preds = self.run_batch_on_resized([prepped[i][0] for i in idxs])
+            for i, pr in zip(idxs, preds):
+                resized, scale, (oh, ow) = prepped[i]
+                pr = self._model_postprocess(pr, resized.shape[0], resized.shape[1])
+                if scale != 1 and len(pr):
+                    pr.pred_boxes = scale_rotated_np(
+                        np.asarray(pr.pred_boxes), 1.0 / scale, 1.0 / scale
+                    )
+                pr._image_size = (oh, ow)
+                if self.post_process_flag:
+                    pr = self.post_processor(pr)
+                results[i] = pr
+        return results
 
     def forward_with_given_boxes(self, image: np.ndarray, instances: Instances) -> Instances:
         """Run the recognizer (+mask) branches on externally provided boxes

@@ -34,6 +34,8 @@ def parse_args():
     p.add_argument("--lexicon", default=None, help="lexicon txt file")
     p.add_argument("--weighted-ed", action="store_true")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help=">1 runs batched (vmapped) inference per bucket")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
 
@@ -91,17 +93,29 @@ def main():
         t0 = time.time()
         import cv2
 
-        for i, record in enumerate(records):
-            image = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
-            if image is None:
-                logger.warning("unreadable: %s", record["file_name"])
+        chunk = max(args.batch_size, 1)
+        for start in range(0, len(records), chunk):
+            batch_records, batch_images = [], []
+            for record in records[start : start + chunk]:
+                image = cv2.imread(record["file_name"], cv2.IMREAD_COLOR)
+                if image is None:
+                    logger.warning("unreadable: %s", record["file_name"])
+                    continue
+                batch_records.append(record)
+                batch_images.append(image)
+            if not batch_images:
                 continue
-            preds = runner(image)
-            key = str(record.get("image_id", i))
-            evaluator.process(key, preds, gt_record=record)
-            if (i + 1) % 50 == 0:
-                rate = (i + 1) / (time.time() - t0)
-                logger.info("%s: %d/%d images (%.2f img/s)", dataset_name, i + 1, len(records), rate)
+            if chunk == 1:
+                preds_list = [runner(batch_images[0])]
+            else:
+                preds_list = runner.batch_call(batch_images, batch_size=chunk)
+            for record, preds in zip(batch_records, preds_list):
+                key = str(record.get("image_id", start))
+                evaluator.process(key, preds, gt_record=record)
+            done = min(start + chunk, len(records))
+            if done % 50 < chunk:
+                rate = done / (time.time() - t0)
+                logger.info("%s: %d/%d images (%.2f img/s)", dataset_name, done, len(records), rate)
         results = evaluator.evaluate()
         all_results[dataset_name] = results
         logger.info("%s results: %s", dataset_name, json.dumps(results, indent=2))
