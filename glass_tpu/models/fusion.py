@@ -68,6 +68,61 @@ def gc_attention_apply(
     return L.conv2d(out, params["out"]["weight"], params["out"]["bias"], padding=1)
 
 
+def gc_attention_mul_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int = 8):
+    """fusion_type='channel_mul': sigmoid-gated channel scaling."""
+    n, h, w, c = x.shape
+    half = c // 2
+    order = jnp.stack([jnp.arange(half), jnp.arange(half) + half], axis=1).reshape(-1)
+    x = x[..., order]
+    ch_per_head = c // headers
+    xh = x.reshape(n, h * w, headers, ch_per_head)
+    w_mask = params["conv_mask"]["weight"].reshape(ch_per_head).astype(x.dtype)
+    b_mask = params["conv_mask"]["bias"].astype(x.dtype)
+    mask = jax.nn.softmax(jnp.einsum("nphc,c->nph", xh, w_mask) + b_mask, axis=1)
+    context = jnp.einsum("nphc,nph->nhc", xh, mask).reshape(n, c)
+    cc = params["channel_mul_conv"]
+    t = L.linear(context, cc["0"]["weight"].reshape(-1, c), cc["0"]["bias"])
+    t = L.layer_norm(t, cc["1"]["weight"].reshape(-1), cc["1"]["bias"].reshape(-1), axes=(-1,))
+    t = jnp.maximum(t, 0)
+    t = L.linear(t, cc["3"]["weight"].reshape(-1, t.shape[-1]), cc["3"]["bias"])
+    out = x * jax.nn.sigmoid(t)[:, None, None, :]
+    return L.conv2d(out, params["out"]["weight"], params["out"]["bias"], padding=1)
+
+
+def simple_attention_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int = 8):
+    """SimpleAttention (fusion_modules.py:161-186): x * linear(x), 1x1 conv."""
+    t = L.linear(x, params["linear"]["weight"]) * x
+    return L.conv2d(t, params["conv"]["weight"])
+
+
+def local_only_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int = 8):
+    """LocalOnly (fusion_modules.py:190-218): keep the local half."""
+    return x[..., : x.shape[-1] // 2]
+
+
+def conv1x1_fusion_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int = 8):
+    """Conv1x1 (fusion_modules.py:222-247)."""
+    return L.conv2d(x, params["conv"]["weight"])
+
+
+FUSION_MODULES = {
+    ("MultiAspectGCAttention", "channel_add"): gc_attention_apply,
+    ("MultiAspectGCAttention", "channel_mul"): gc_attention_mul_apply,
+    ("SimpleAttention", None): simple_attention_apply,
+    ("LocalOnly", None): local_only_apply,
+    ("Conv1x1", None): conv1x1_fusion_apply,
+}
+
+
+def apply_fusion(ctx: Ctx, params: dict, x: jnp.ndarray,
+                 name: str = "MultiAspectGCAttention",
+                 fusion_type: str = "channel_add", headers: int = 8):
+    key = (name, fusion_type if name == "MultiAspectGCAttention" else None)
+    if key not in FUSION_MODULES:
+        raise NotImplementedError(f"fusion {name}/{fusion_type}")
+    return FUSION_MODULES[key](ctx, params, x, headers)
+
+
 def init_p2p3_fusion(key, channels: int = 256) -> dict:
     k1, k2 = jax.random.split(key)
     return {

@@ -39,6 +39,7 @@ from .box_head import Detections
 from .fusion import (
     p2p3_fusion_apply,
     gc_attention_apply,
+    apply_fusion,
     init_p2p3_fusion,
     init_gc_attention,
 )
@@ -86,11 +87,20 @@ class GlassArch:
     recognizer_in_features: Tuple[str, ...] = ("p2", "p3")
     recognizer_pool_hw: Tuple[int, int] = (8, 32)
     img_crop_hw: Tuple[int, int] = (128, 128)
-    img_crop_sampling_ratio: int = 2
+    # d2's img_pooler uses a fixed 2x2 grid per output bin
+    # (ROI_BOX_HEAD.POOLER_SAMPLING_RATIO=2); at 128x128 output the bins of
+    # typical word crops are sub-pixel, so the extra samples are redundant.
+    # 0 = adaptive ceil(extent/128) capped at crop_max_sampling_ratio —
+    # identical to the fixed grid for boxes > 256 px and ~4x cheaper below.
+    img_crop_sampling_ratio: int = 0
+    crop_max_sampling_ratio: int = 2
     max_word_len: int = 25
     vocab_size: int = 97
     gc_headers: int = 8
     pooler_pad: str = ""  # "" | "FeatPadV2"
+    recognizer_backbone: str = "CNN_V1_1"
+    fusion_name: str = "MultiAspectGCAttention"
+    fusion_type: str = "channel_add"
     # Mask
     mask_on: bool = True
     mask_inference: bool = False
@@ -135,11 +145,15 @@ class GlassArch:
             recognizer_in_features=tuple(rec.IN_FEATURES),
             recognizer_pool_hw=(rec.POOLER_RESOLUTION_HEIGHT, rec.POOLER_RESOLUTION_WIDTH),
             img_crop_hw=(rec.POOLER_RESOLUTION_HEIGHT * 16, rec.POOLER_RESOLUTION_WIDTH * 4),
-            img_crop_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            img_crop_sampling_ratio=cfg.TPU.CROP_SAMPLING_RATIO,
+            crop_max_sampling_ratio=cfg.TPU.CROP_MAX_SAMPLING_RATIO,
             max_word_len=rec.MAX_WORD_LENGTH,
             vocab_size=len(rec.CHARACTER_SET) + 2,
             gc_headers=cfg.MODEL.HYBRID_FUSION.HEADERS,
             pooler_pad=rec.RECOGNIZER_HEAD.POOLER_PAD.NAME,
+            recognizer_backbone=rec.RECOGNIZER_HEAD.BACKBONE.NAME,
+            fusion_name=cfg.MODEL.HYBRID_FUSION.NAME,
+            fusion_type=cfg.MODEL.HYBRID_FUSION.FUSION_TYPE,
             mask_on=cfg.MODEL.MASK_ON,
             mask_inference=cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE,
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
@@ -369,11 +383,16 @@ def recognize_single_image(
     crops = roi_align_rotated(
         norm_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
         sampling_ratio=arch.img_crop_sampling_ratio,
+        max_sampling_ratio=arch.crop_max_sampling_ratio,
     )
     local_feats = local_extractor_apply(ctx, rh["hybrid_net"]["ConvNet"], crops)
     x = jnp.concatenate([local_feats, global_feats], axis=-1)
-    x = gc_attention_apply(ctx, rh["fusion_net"], x, arch.gc_headers)
-    enc = recognizer_layers_apply(ctx, rh["recognizer_head"], x)
+    x = apply_fusion(
+        ctx, rh["fusion_net"], x, arch.fusion_name, arch.fusion_type, arch.gc_headers
+    )
+    enc = recognizer_layers_apply(
+        ctx, rh["recognizer_head"], x, arch.recognizer_backbone
+    )
     return aster_decode_greedy(
         rh["recognizer_head"]["decoder"], enc.astype(jnp.float32), arch.max_word_len + 1
     )

@@ -52,6 +52,48 @@ def cnn_v1_1_apply(ctx: Ctx, params: dict, x: jnp.ndarray,
     return x2 + x1
 
 
+def cnn_v1_rect_apply(ctx: Ctx, params: dict, x: jnp.ndarray,
+                      path: str = "roi_heads.recognizer_head.backbone") -> jnp.ndarray:
+    """CNN_V1_RECT (reference recognizer_backbone.py:216-266): 1x1 conv +
+    residual 3x3 conv, height preserved."""
+    x1 = L.conv2d(x, params["conv1"]["weight"], params["conv1"].get("bias"))
+    if "norm" in params["conv1"]:
+        x1 = apply_bn(ctx, x1, params["conv1"]["norm"], f"{path}.conv1.norm")
+    x1 = jnp.maximum(x1, 0)
+    x2 = L.conv2d(x1, params["conv2"]["weight"], params["conv2"].get("bias"), padding=1)
+    if "norm" in params["conv2"]:
+        x2 = apply_bn(ctx, x2, params["conv2"]["norm"], f"{path}.conv2.norm")
+    x2 = jnp.maximum(x2, 0)
+    return x2 + x1
+
+
+def cnn_v2_apply(ctx: Ctx, params: dict, x: jnp.ndarray,
+                 path: str = "roi_heads.recognizer_head.backbone") -> jnp.ndarray:
+    """CNN_V2 / CNN_V2_1 (reference recognizer_backbone.py:85-164,267-328):
+    [2,1]-strided conv + two residual 3x3 stages."""
+    def conv(p, inp, name, **kw):
+        out = L.conv2d(inp, p["weight"], p.get("bias"), **kw)
+        if "norm" in p:
+            out = apply_bn(ctx, out, p["norm"], f"{path}.{name}.norm")
+        return jnp.maximum(out, 0)
+
+    x1 = conv(params["conv1"], x, "conv1", stride=(2, 1), padding=0)
+    x2 = conv(params["conv2"], x1, "conv2", padding=1)
+    x12 = x2 + x1
+    x3 = conv(params["conv3"], x12, "conv3", padding=1)
+    return x12 + x3
+
+
+RECOGNIZER_BACKBONES = {
+    "CNN_V1_1": cnn_v1_1_apply,
+    "CNN_V1": cnn_v1_1_apply,        # same body, legacy registry name
+    "CNN_V1_RECT": cnn_v1_rect_apply,
+    "CNN_V2": cnn_v2_apply,
+    "CNN_V2_1": cnn_v2_apply,
+    "Identity": lambda ctx, params, x, path="": x,
+}
+
+
 # ---------------------------------------------------------------------------
 # BiLSTM encoder block
 # ---------------------------------------------------------------------------
@@ -173,9 +215,11 @@ def aster_decode_greedy(
 # ---------------------------------------------------------------------------
 
 
-def recognizer_layers_apply(ctx: Ctx, params: dict, fused: jnp.ndarray) -> jnp.ndarray:
+def recognizer_layers_apply(
+    ctx: Ctx, params: dict, fused: jnp.ndarray, backbone: str = "CNN_V1_1"
+) -> jnp.ndarray:
     """backbone + encoder: fused (N, 8, 32, C) -> encoder states (N, 32, C)."""
-    feats = cnn_v1_1_apply(ctx, params["backbone"], fused)
+    feats = RECOGNIZER_BACKBONES[backbone](ctx, params["backbone"], fused)
     return bilstm_encoder_apply(ctx, params["encoder"], feats)
 
 

@@ -51,7 +51,7 @@ def make_parallel_train_step(
     Returns step(params, opt_state, batch, key) -> (params, opt_state,
     metrics) with gradients pmean-ed over the data axis.
     """
-    from jax.shard_map import shard_map
+    from jax import shard_map
 
     from ..train.optimizer import apply_bn_updates
 
@@ -71,7 +71,7 @@ def make_parallel_train_step(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -377,6 +377,7 @@ def glass_train_forward(
             lambda img, bx: roi_align_rotated(
                 img, bx, arch.img_crop_hw, spatial_scale=1.0,
                 sampling_ratio=arch.img_crop_sampling_ratio,
+                max_sampling_ratio=arch.crop_max_sampling_ratio,
             )
         )(norm, word_boxes)
 
@@ -387,11 +388,15 @@ def glass_train_forward(
             ctx, params["roi_heads"]["hybrid_net"]["ConvNet"], crops
         )
         fused_words = jnp.concatenate([local_f, global_f], axis=-1)
-        fused_words = gc_attention_apply(
-            ctx, params["roi_heads"]["fusion_net"], fused_words, arch.gc_headers
+        from ..models.fusion import apply_fusion
+
+        fused_words = apply_fusion(
+            ctx, params["roi_heads"]["fusion_net"], fused_words,
+            arch.fusion_name, arch.fusion_type, arch.gc_headers,
         )
         enc = recognizer_layers_apply(
-            ctx, params["roi_heads"]["recognizer_head"], fused_words
+            ctx, params["roi_heads"]["recognizer_head"], fused_words,
+            arch.recognizer_backbone,
         )
         word_logits = aster_decode_train(
             params["roi_heads"]["recognizer_head"]["decoder"],
