@@ -105,7 +105,12 @@ def _intersection_chunk(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     cx = jnp.sum(jnp.where(valid, cand_x, 0.0), axis=0) / denom_c
     cy = jnp.sum(jnp.where(valid, cand_y, 0.0), axis=0) / denom_c
 
-    ang = jnp.arctan2(cand_y - cy, cand_x - cx)
+    # Diamond pseudo-angle: monotone in atan2 at ~4 flops instead of a
+    # transcendental per candidate (24 per pair).
+    dy = cand_y - cy
+    dx = cand_x - cx
+    t = dy / (jnp.abs(dx) + jnp.abs(dy) + 1e-12)
+    ang = jnp.where(dx >= 0, t, 2.0 - t)  # (-1, 3], increasing with angle
     ang = jnp.where(valid, ang, 1e9)
     # Multi-operand sort along the candidate axis: one pass orders x and y.
     _, sx, sy = jax.lax.sort((ang, cand_x, cand_y), dimension=0, num_keys=1)
