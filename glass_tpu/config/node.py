@@ -132,7 +132,18 @@ def _decode_and_check(value: Any, old: Any, full_key: str) -> Any:
 def _check_type(new: Any, old: Any, full_key: str) -> Any:
     if old is None or new is None:
         return new
-    # yacs-compatible casts: list<->tuple, int->float
+    # yacs-compatible casts: list<->tuple, int->float, "(a, b)" strings
+    if isinstance(old, (tuple, list)) and isinstance(new, str):
+        # Released configs write tuples as YAML strings, e.g. "(800, 1200)".
+        import ast
+
+        try:
+            parsed = ast.literal_eval(new)
+        except (ValueError, SyntaxError):
+            raise ValueError(
+                f"Cannot parse {new!r} as a sequence for key {full_key}"
+            )
+        new = parsed
     if isinstance(old, tuple) and isinstance(new, list):
         return tuple(new)
     if isinstance(old, list) and isinstance(new, tuple):

@@ -221,6 +221,29 @@ class GlassRunner:
             logger.info("Post-processing output is %d word instances", len(preds))
         return preds
 
+    def eval_call(self, original_image: np.ndarray) -> Instances:
+        """Dataset-evaluation inference path.
+
+        Reference eval uses the d2 test loader's ``ResizeShortestEdge``
+        (MIN/MAX_SIZE_TEST) and ``detector_postprocess`` back to the
+        original resolution — different from the demo scale-ratio rule of
+        ``__call__`` (``glass_runner.py:111-121``).
+        """
+        from ..data.mapper import shortest_edge_size
+
+        if self.input_format == "RGB":
+            original_image = original_image[:, :, ::-1]
+        if self.input_format == "GREY":
+            original_image = rgb2grey(original_image, three_channels=True)
+        oh, ow = original_image.shape[:2]
+        nh, nw = shortest_edge_size(oh, ow, self.min_target_size, self.max_target_size)
+        resized = cv2.resize(original_image.astype(np.float32), (nw, nh))
+        preds = self.run_on_resized(resized)
+        preds = self._model_postprocess(preds, oh, ow)
+        if self.post_process_flag:
+            preds = self.post_processor(preds)
+        return preds
+
     def batch_call(self, original_images: List[np.ndarray], batch_size: int = 8) -> List[Instances]:
         """Full-pipeline batched inference: per-image resize rules, grouped
         vmapped model calls, per-image post-processing."""
