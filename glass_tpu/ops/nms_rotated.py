@@ -54,13 +54,32 @@ def nms_rotated_mask(
     iou = pairwise_iou_rotated(sorted_boxes, sorted_boxes)
     rank = jnp.arange(n)
 
-    def body(i, suppressed):
-        keep_i = (~suppressed[i]) & sorted_valid[i]
-        newly = keep_i & (iou[i] > iou_threshold) & (rank > i)
-        return suppressed | newly
+    # Greedy NMS as a fixpoint: keep(i) <=> valid(i) and no higher-ranked
+    # KEPT box overlaps it.  Iterating the all-at-once operator converges to
+    # the exact greedy solution in (suppression chain depth) steps — a
+    # handful in practice — with each step a single (N,)x(N,N) contraction
+    # on the MXU, instead of N sequential loop iterations.
+    sup = (
+        (iou > iou_threshold)
+        & (rank[:, None] < rank[None, :])
+        & sorted_valid[:, None]
+        & sorted_valid[None, :]
+    ).astype(jnp.float32)
 
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), bool))
-    keep_sorted = (~suppressed) & sorted_valid
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < n)
+
+    def body(state):
+        keep, _, it = state
+        suppressed_by_kept = (keep.astype(jnp.float32) @ sup) > 0.5
+        new_keep = sorted_valid & ~suppressed_by_kept
+        return new_keep, keep, it + 1
+
+    keep0 = sorted_valid
+    keep_sorted, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0))
+    )
 
     if max_keep is not None:
         kept_rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1

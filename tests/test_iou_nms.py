@@ -114,6 +114,36 @@ def test_nms_respects_valid_and_topk():
     np.testing.assert_array_equal(keep, [True, True, False, False])
 
 
+def test_nms_fixpoint_matches_sequential_greedy(rng):
+    n = 64
+    boxes = np.stack(
+        [
+            rng.uniform(0, 200, n),
+            rng.uniform(0, 200, n),
+            rng.uniform(10, 60, n),
+            rng.uniform(10, 40, n),
+            rng.uniform(-90, 90, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    got = np.asarray(nms_rotated_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.3))
+
+    # numpy sequential greedy reference using the same IoU kernel
+    iou = np.asarray(pairwise_iou_rotated(jnp.asarray(boxes), jnp.asarray(boxes)))
+    order = np.argsort(-scores)
+    suppressed = np.zeros(n, bool)
+    keep_ref = np.zeros(n, bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep_ref[i] = True
+        for j in order:
+            if scores[j] < scores[i] and iou[i, j] > 0.3:
+                suppressed[j] = True
+    np.testing.assert_array_equal(got, keep_ref)
+
+
 def test_batched_nms_classes_dont_suppress():
     boxes = jnp.array(
         [
