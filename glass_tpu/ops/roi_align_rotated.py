@@ -146,20 +146,42 @@ def roi_align_rotated(
     w11 = jnp.where(outside | ~mask_f, 0.0, ly * lx) / count[:, None]
 
     i00 = (y_low * width + x_low).reshape(-1)  # (R*S,)
-    i01 = (y_low * width + x_high).reshape(-1)
-    i10 = (y_high * width + x_low).reshape(-1)
-    i11 = (y_high * width + x_high).reshape(-1)
 
-    # Row-major gather: (H*W, C)[(R*S,)] -> (R*S, C).  Rows are contiguous
-    # C-sized blocks (sequential reads) and the lane axis carries C.
-    flat = features.reshape(height * width, channels)
+    if channels <= 8:
+        # Small-channel maps (the raw-image crop pooler): pack the four
+        # bilinear taps as channel groups of ONE shifted image —
+        # [I, I>>x, I>>y, I>>xy] with edge padding (edge replication equals
+        # the index clamping above) — so a single row gather fetches all
+        # four taps.  Gather op count drops 4x; bytes are unchanged.
+        sx = jnp.pad(features[:, 1:], ((0, 0), (0, 1), (0, 0)), mode="edge")
+        sy = jnp.pad(features[1:], ((0, 1), (0, 0), (0, 0)), mode="edge")
+        sxy = jnp.pad(sx[1:], ((0, 1), (0, 0), (0, 0)), mode="edge")
+        packed = jnp.concatenate([features, sx, sy, sxy], axis=-1)
+        flat = packed.reshape(height * width, 4 * channels)
+        taps = flat[i00]  # (R*S, 4C)
+        # Per-tap weights expanded to channel groups via constant matmuls —
+        # avoids (R*S, 4, C) temporaries with tiny minor dims.
+        w4 = jnp.stack(
+            [w00.reshape(-1), w01.reshape(-1), w10.reshape(-1), w11.reshape(-1)],
+            axis=-1,
+        ).astype(features.dtype)  # (R*S, 4)
+        expand = jnp.kron(jnp.eye(4), jnp.ones((1, channels))).astype(features.dtype)
+        collapse = jnp.kron(jnp.ones((4, 1)), jnp.eye(channels)).astype(features.dtype)
+        acc = (taps * (w4 @ expand)) @ collapse  # (R*S, C)
+    else:
+        i01 = (y_low * width + x_high).reshape(-1)
+        i10 = (y_high * width + x_low).reshape(-1)
+        i11 = (y_high * width + x_high).reshape(-1)
 
-    acc = (
-        flat[i00] * w00.reshape(-1, 1).astype(features.dtype)
-        + flat[i01] * w01.reshape(-1, 1).astype(features.dtype)
-        + flat[i10] * w10.reshape(-1, 1).astype(features.dtype)
-        + flat[i11] * w11.reshape(-1, 1).astype(features.dtype)
-    )  # (R*S, C)
+        # Row-major gather: (H*W, C)[(R*S,)] -> (R*S, C).  Rows are
+        # contiguous C-sized blocks and the lane axis carries C.
+        flat = features.reshape(height * width, channels)
+        acc = (
+            flat[i00] * w00.reshape(-1, 1).astype(features.dtype)
+            + flat[i01] * w01.reshape(-1, 1).astype(features.dtype)
+            + flat[i10] * w10.reshape(-1, 1).astype(features.dtype)
+            + flat[i11] * w11.reshape(-1, 1).astype(features.dtype)
+        )  # (R*S, C)
 
     # Sum the g*g samples of each bin: (R, ph*pw, g*g, C) -> (R, ph*pw, C).
     acc = acc.reshape(r, pooled_h * pooled_w, g * g, channels).sum(axis=2)
