@@ -1,0 +1,98 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from glass_tpu.train import losses as LS
+from glass_tpu.train.matcher import (
+    matcher_assign,
+    subsample_labels,
+    rpn_label_anchors,
+)
+from glass_tpu.ops.iou_rotated import pairwise_iou_rotated
+
+
+def test_sine_square_loss_formula():
+    w = (1.0, 1.0, 1.0, 1.0, 2.0)
+    pred = jnp.array([[0.1, 0.2, 0.3, 0.4, 1.0]])
+    gt = jnp.array([[0.0, 0.0, 0.0, 0.0, 0.0]])
+    out = np.asarray(LS.sine_square_loss(pred, gt, 0.11, w))[0]
+    # xywh: smooth-l1 beta=0.11; 0.1 < beta -> quadratic region
+    np.testing.assert_allclose(out[0], 0.5 * 0.1**2 / 0.11, atol=1e-6)
+    np.testing.assert_allclose(out[1], 0.2 - 0.055, atol=1e-6)
+    # angle: w_a * sin^2(da / w_a)
+    np.testing.assert_allclose(out[4], 2.0 * np.sin(0.5) ** 2, atol=1e-6)
+
+
+def test_smooth_l1_quadratic_region():
+    out = float(LS.smooth_l1(jnp.array(0.05), jnp.array(0.0), 0.11))
+    np.testing.assert_allclose(out, 0.5 * 0.05**2 / 0.11, atol=1e-8)
+
+
+def test_matcher_thresholds_rpn_style():
+    quality = jnp.array(
+        [
+            [0.8, 0.5, 0.1, 0.0],
+        ]
+    )
+    idx, labels = matcher_assign(quality, (0.3, 0.7), (0, -1, 1))
+    np.testing.assert_array_equal(np.asarray(labels), [1, -1, 0, 0])
+
+
+def test_matcher_low_quality_promotes_best():
+    # gt 1's best anchor has IoU 0.2 (< fg threshold) -> promoted by LQ.
+    quality = jnp.array([[0.8, 0.0], [0.0, 0.2]])
+    _, labels = matcher_assign(quality, (0.3, 0.7), (0, -1, 1), allow_low_quality=True)
+    np.testing.assert_array_equal(np.asarray(labels), [1, 1])
+
+
+def test_subsample_labels_counts():
+    key = jax.random.PRNGKey(0)
+    labels = jnp.array([1] * 10 + [0] * 100 + [-1] * 5)
+    pos, neg = subsample_labels(key, labels, 64, 0.5)
+    assert int(pos.sum()) == 10  # fewer positives than cap
+    assert int(neg.sum()) == 54  # fills remainder
+    assert not bool((pos & (labels != 1)).any())
+    assert not bool((neg & (labels != 0)).any())
+
+
+def test_rpn_label_anchors_against_dense(rng):
+    g, a = 5, 200
+    gt = np.stack(
+        [
+            rng.uniform(40, 160, g), rng.uniform(40, 160, g),
+            rng.uniform(20, 50, g), rng.uniform(10, 25, g),
+            rng.uniform(-45, 45, g),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    anchors = np.stack(
+        [
+            rng.uniform(0, 200, a), rng.uniform(0, 200, a),
+            rng.uniform(10, 60, a), rng.uniform(8, 30, a),
+            rng.uniform(-90, 90, a),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    valid = np.ones(g, bool)
+    labels, matched = rpn_label_anchors(
+        jnp.asarray(gt), jnp.asarray(valid), jnp.asarray(anchors), k=a
+    )
+    # dense reference
+    iou = np.asarray(pairwise_iou_rotated(jnp.asarray(gt), jnp.asarray(anchors)))
+    mv = iou.max(axis=0)
+    ref = np.where(mv >= 0.7, 1, np.where(mv >= 0.3, -1, 0))
+    best = iou.max(axis=1, keepdims=True)
+    lq = ((iou >= best - 1e-5) & (best > 1e-5)).any(axis=0)
+    ref = np.where(lq, 1, ref)
+    np.testing.assert_array_equal(np.asarray(labels), ref)
+    # matched gt: argmax per anchor for fg anchors
+    am = iou.argmax(axis=0)
+    fg = np.asarray(labels) == 1
+    got_matched = np.asarray(matched)
+    mismatch = 0
+    for i in np.where(fg)[0]:
+        if not np.allclose(got_matched[i], gt[am[i]]):
+            # ties may pick a different but equal-IoU gt
+            assert abs(iou[am[i], i] - iou[:, i].max()) < 1e-5
+            mismatch += 1
+    assert mismatch <= 2
