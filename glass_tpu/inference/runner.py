@@ -244,6 +244,36 @@ class GlassRunner:
             preds = self.post_processor(preds)
         return preds
 
+    def eval_batch_call(self, original_images: List[np.ndarray], batch_size: int = 8) -> List[Instances]:
+        """Batched ``eval_call``: shortest-edge resize, vmapped model,
+        detector_postprocess back to original sizes."""
+        from ..data.mapper import shortest_edge_size
+
+        prepped = []
+        for img in original_images:
+            if self.input_format == "RGB":
+                img = img[:, :, ::-1]
+            if self.input_format == "GREY":
+                img = rgb2grey(img, three_channels=True)
+            oh, ow = img.shape[:2]
+            nh, nw = shortest_edge_size(oh, ow, self.min_target_size, self.max_target_size)
+            prepped.append((cv2.resize(img.astype(np.float32), (nw, nh)), (oh, ow)))
+
+        results: List[Optional[Instances]] = [None] * len(prepped)
+        order = sorted(
+            range(len(prepped)), key=lambda i: self._pick_bucket(*prepped[i][0].shape[:2])
+        )
+        for start in range(0, len(order), batch_size):
+            idxs = order[start : start + batch_size]
+            preds = self.run_batch_on_resized([prepped[i][0] for i in idxs])
+            for i, pr in zip(idxs, preds):
+                oh, ow = prepped[i][1]
+                pr = self._model_postprocess(pr, oh, ow)
+                if self.post_process_flag:
+                    pr = self.post_processor(pr)
+                results[i] = pr
+        return results
+
     def batch_call(self, original_images: List[np.ndarray], batch_size: int = 8) -> List[Instances]:
         """Full-pipeline batched inference: per-image resize rules, grouped
         vmapped model calls, per-image post-processing."""

@@ -82,11 +82,18 @@ def main():
         records = DatasetManager.load(dataset_name)
         if args.max_images:
             records = records[: args.max_images]
+        gt_zip = args.gt_zip
+        if not gt_zip:
+            # Configured gt archives (DATASETS.EVAL_GT_ZIPS.*) by name match.
+            for key, path in cfg.DATASETS.EVAL_GT_ZIPS.items():
+                if path and key.lower() in dataset_name.lower():
+                    gt_zip = path
+                    break
         evaluator = TextEvaluator(
             dataset_name,
             cfg,
             output_dir=args.output,
-            gt_zip=args.gt_zip,
+            gt_zip=gt_zip,
             word_spotting=args.word_spotting,
             lexicon=lexicon,
         )
@@ -106,9 +113,9 @@ def main():
             if not batch_images:
                 continue
             if chunk == 1:
-                preds_list = [runner(batch_images[0])]
+                preds_list = [runner.eval_call(batch_images[0])]
             else:
-                preds_list = runner.batch_call(batch_images, batch_size=chunk)
+                preds_list = runner.eval_batch_call(batch_images, batch_size=chunk)
             for record, preds in zip(batch_records, preds_list):
                 key = str(record.get("image_id", start))
                 evaluator.process(key, preds, gt_record=record)
