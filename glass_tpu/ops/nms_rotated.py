@@ -20,6 +20,26 @@ import jax.numpy as jnp
 from .iou_rotated import pairwise_iou_rotated
 
 NEG_INF = -1e30
+_TRI_CHUNK = 128
+
+
+def _upper_triangle_iou(sorted_boxes: jnp.ndarray) -> jnp.ndarray:
+    """(N, N) IoU with only the strict upper triangle computed.
+
+    NMS only consumes suppression relations from higher- to lower-ranked
+    boxes, so the lower triangle (half the polygon-clipping work) is skipped
+    by evaluating per-row-chunk column suffixes (static shapes per chunk).
+    """
+    n = sorted_boxes.shape[0]
+    if n <= _TRI_CHUNK:
+        return pairwise_iou_rotated(sorted_boxes, sorted_boxes)
+    out = jnp.zeros((n, n), jnp.float32)
+    for start in range(0, n, _TRI_CHUNK):
+        stop = min(start + _TRI_CHUNK, n)
+        rows = sorted_boxes[start:stop]
+        cols = sorted_boxes[start:]
+        out = out.at[start:stop, start:].set(pairwise_iou_rotated(rows, cols))
+    return out
 
 
 @partial(jax.jit, static_argnames=("max_keep",))
@@ -51,7 +71,7 @@ def nms_rotated_mask(
     sorted_boxes = boxes[order]
     sorted_valid = scores[order] > NEG_INF / 2
 
-    iou = pairwise_iou_rotated(sorted_boxes, sorted_boxes)
+    iou = _upper_triangle_iou(sorted_boxes)
     rank = jnp.arange(n)
 
     # Greedy NMS as a fixpoint: keep(i) <=> valid(i) and no higher-ranked
