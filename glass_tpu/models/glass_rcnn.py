@@ -374,7 +374,7 @@ def recognize_single_image(
         pool_boxes, pad_ratio = boxes, None
     global_feats = roi_align_rotated(
         fused, pool_boxes, pool_hw, spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
-        sampling_ratio=0,
+        sampling_ratio=0, packed_taps=True,
     )
     if pad_ratio is not None:
         from .pooler_pad import feat_pad_v2_mask

@@ -40,6 +40,7 @@ import jax.numpy as jnp
         "sampling_ratio",
         "max_sampling_ratio",
         "aligned",
+        "packed_taps",
     ),
 )
 def roi_align_rotated(
@@ -50,6 +51,7 @@ def roi_align_rotated(
     sampling_ratio: int = 0,
     max_sampling_ratio: int = 4,
     aligned: bool = True,
+    packed_taps: bool | None = None,
 ) -> jnp.ndarray:
     """Pool rotated regions from a feature map.
 
@@ -147,7 +149,9 @@ def roi_align_rotated(
 
     i00 = (y_low * width + x_low).reshape(-1)  # (R*S,)
 
-    if channels <= 8:
+    if packed_taps is None:
+        packed_taps = channels <= 8
+    if packed_taps:
         # Small-channel maps (the raw-image crop pooler): pack the four
         # bilinear taps as channel groups of ONE shifted image —
         # [I, I>>x, I>>y, I>>xy] with edge padding (edge replication equals
@@ -159,15 +163,22 @@ def roi_align_rotated(
         packed = jnp.concatenate([features, sx, sy, sxy], axis=-1)
         flat = packed.reshape(height * width, 4 * channels)
         taps = flat[i00]  # (R*S, 4C)
-        # Per-tap weights expanded to channel groups via constant matmuls —
-        # avoids (R*S, 4, C) temporaries with tiny minor dims.
-        w4 = jnp.stack(
-            [w00.reshape(-1), w01.reshape(-1), w10.reshape(-1), w11.reshape(-1)],
-            axis=-1,
-        ).astype(features.dtype)  # (R*S, 4)
-        expand = jnp.kron(jnp.eye(4), jnp.ones((1, channels))).astype(features.dtype)
-        collapse = jnp.kron(jnp.ones((4, 1)), jnp.eye(channels)).astype(features.dtype)
-        acc = (taps * (w4 @ expand)) @ collapse  # (R*S, C)
+        ws = [w00, w01, w10, w11]
+        if channels >= 64:
+            # Wide channels: slice the gathered groups directly (each slice
+            # (R*S, C) is well tiled) and weighted-sum.
+            acc = sum(
+                taps[:, k * channels : (k + 1) * channels]
+                * ws[k].reshape(-1, 1).astype(features.dtype)
+                for k in range(4)
+            )
+        else:
+            # Narrow channels: constant matmuls avoid (R*S, C) temporaries
+            # with tiny minor dims.
+            w4 = jnp.stack([w.reshape(-1) for w in ws], axis=-1).astype(features.dtype)
+            expand = jnp.kron(jnp.eye(4), jnp.ones((1, channels))).astype(features.dtype)
+            collapse = jnp.kron(jnp.ones((4, 1)), jnp.eye(channels)).astype(features.dtype)
+            acc = (taps * (w4 @ expand)) @ collapse  # (R*S, C)
     else:
         i01 = (y_low * width + x_high).reshape(-1)
         i10 = (y_high * width + x_low).reshape(-1)
