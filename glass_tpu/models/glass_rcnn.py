@@ -372,9 +372,11 @@ def recognize_single_image(
         pool_boxes, pad_ratio = feat_pad_v2_boxes(boxes, pool_hw)
     else:
         pool_boxes, pad_ratio = boxes, None
+    # packed_taps measured slower here (256-ch rows are bandwidth-bound:
+    # 4x bytes/row outweighs 4x fewer rows) — default row gathers win.
     global_feats = roi_align_rotated(
         fused, pool_boxes, pool_hw, spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
-        sampling_ratio=0, packed_taps=True,
+        sampling_ratio=0,
     )
     if pad_ratio is not None:
         from .pooler_pad import feat_pad_v2_mask
