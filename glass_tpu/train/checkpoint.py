@@ -95,6 +95,57 @@ def _walk_rename(tree):
     return tree
 
 
+_C2_STAGE_BLOCKS = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+_C2_BRANCH = {"branch2a": "conv1", "branch2b": "conv2", "branch2c": "conv3",
+              "branch1": "shortcut"}
+
+
+def convert_caffe2_resnet50(state: Dict[str, "np.ndarray"]) -> dict:
+    """Caffe2 ImageNet R-50 pickle -> backbone.bottom_up parameter tree.
+
+    The reference pretrain initializes from
+    ``detectron2://ImageNetPretrained/MSRA/R-50.pkl``
+    (``configs/glass_pretrain.yaml:39``), whose names are caffe2-style
+    (``res2_0_branch2a_w`` / ``..._bn_s`` / ``..._bn_b``).  BN appears as
+    affine scale/bias only (stats absorbed) — mapped onto identity running
+    stats.
+    """
+    tree: dict = {}
+
+    def put(path, w=None, bn_s=None, bn_b=None):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        leaf = node.setdefault(path[-1], {})
+        if w is not None:
+            leaf["weight"] = jnp.asarray(np.asarray(w).transpose(2, 3, 1, 0))
+        if bn_s is not None:
+            c = np.asarray(bn_s).shape[0]
+            leaf["norm"] = {
+                "weight": jnp.asarray(np.asarray(bn_s)),
+                "bias": jnp.asarray(np.asarray(bn_b)),
+                "running_mean": jnp.zeros((c,), jnp.float32),
+                "running_var": jnp.ones((c,), jnp.float32),
+            }
+
+    put(["stem", "conv1"], w=state["conv1_w"],
+        bn_s=state["res_conv1_bn_s"], bn_b=state["res_conv1_bn_b"])
+
+    for stage, n_blocks in _C2_STAGE_BLOCKS.items():
+        for i in range(n_blocks):
+            for c2b, ours in _C2_BRANCH.items():
+                key = f"{stage}_{i}_{c2b}"
+                if f"{key}_w" not in state:
+                    continue
+                put(
+                    [stage, str(i), ours],
+                    w=state[f"{key}_w"],
+                    bn_s=state[f"{key}_bn_s"],
+                    bn_b=state[f"{key}_bn_b"],
+                )
+    return tree
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a detectron2 ``.pth``/``.pkl`` checkpoint into a jax pytree."""
     if path.endswith(".pkl"):
@@ -102,6 +153,8 @@ def load_torch_checkpoint(path: str) -> dict:
             data = pickle.load(f, encoding="latin1")
         state = data.get("model", data)
         state = {k: np.asarray(v) for k, v in state.items() if isinstance(v, np.ndarray)}
+        if "conv1_w" in state:  # caffe2 ImageNet trunk
+            return {"backbone": {"bottom_up": convert_caffe2_resnet50(state)}}
     else:
         import torch
 
