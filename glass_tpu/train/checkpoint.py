@@ -22,9 +22,13 @@ import pickle
 import re
 from typing import Dict
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def _set_path(tree: dict, path: list, value):
@@ -163,6 +167,32 @@ def load_torch_checkpoint(path: str) -> dict:
         state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in state.items()}
     tree = convert_torch_state_dict(state)
     return _walk_rename(tree)
+
+
+def overlay_params(base: dict, loaded: dict, path: str = "") -> dict:
+    """Overlay checkpoint leaves onto an initialized tree (partial load).
+
+    detectron2's ``DetectionCheckpointer`` loads whatever names match and
+    leaves the rest initialized (e.g. ImageNet trunk under a full model);
+    same semantics here, with logging for loaded/missing subtrees.
+    """
+    out = dict(base)
+    for k, v in loaded.items():
+        full = f"{path}.{k}" if path else k
+        if k not in base:
+            logger.warning("checkpoint key not in model, skipped: %s", full)
+            continue
+        if isinstance(v, dict) and isinstance(base[k], dict):
+            out[k] = overlay_params(base[k], v, full)
+        else:
+            if np.shape(base[k]) != np.shape(v):
+                logger.warning(
+                    "shape mismatch for %s: model %s vs checkpoint %s — skipped",
+                    full, np.shape(base[k]), np.shape(v),
+                )
+                continue
+            out[k] = v
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -43,10 +43,14 @@ class Trainer:
 
         seed = cfg.SEED if cfg.SEED >= 0 else 0
         key = jax.random.PRNGKey(seed)
+        self.params = init_glass_params(key, self.arch)
         if cfg.MODEL.WEIGHTS:
-            self.params = load_torch_checkpoint(cfg.MODEL.WEIGHTS)
-        else:
-            self.params = init_glass_params(key, self.arch)
+            from .checkpoint import overlay_params
+
+            loaded = load_torch_checkpoint(cfg.MODEL.WEIGHTS)
+            # Partial overlays (e.g. ImageNet trunk) keep the fresh init for
+            # everything the checkpoint doesn't cover.
+            self.params = overlay_params(self.params, loaded)
         self.tx, self.schedule = build_optimizer(cfg, self.params)
         self.opt_state = self.tx.init(self.params)
         self.start_iter = 0
