@@ -53,10 +53,11 @@ class GlassRunner:
         if params is not None:
             self.params = params
         elif model_path:
-            from ..train.checkpoint import load_torch_checkpoint
+            from ..train.checkpoint import load_any_checkpoint, overlay_params
 
             logger.info("Loading checkpoint %s", model_path)
-            self.params = load_torch_checkpoint(model_path)
+            init = init_glass_params(jax.random.PRNGKey(0), self.arch)
+            self.params = overlay_params(init, load_any_checkpoint(model_path))
         else:
             logger.warning("No checkpoint given; random-initializing weights")
             self.params = init_glass_params(jax.random.PRNGKey(0), self.arch)

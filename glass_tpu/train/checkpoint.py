@@ -169,6 +169,20 @@ def load_torch_checkpoint(path: str) -> dict:
     return _walk_rename(tree)
 
 
+def load_any_checkpoint(path: str) -> dict:
+    """Load params from a torch ``.pth``/``.pkl`` file or an Orbax directory
+    (either a save root containing ``last_checkpoint`` or a ckpt dir)."""
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "last_checkpoint")):
+            state = load_checkpoint(path)
+        else:
+            import orbax.checkpoint as ocp
+
+            state = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        return state["params"] if "params" in state else state
+    return load_torch_checkpoint(path)
+
+
 def overlay_params(base: dict, loaded: dict, path: str = "") -> dict:
     """Overlay checkpoint leaves onto an initialized tree (partial load).
 

@@ -45,9 +45,9 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self.params = init_glass_params(key, self.arch)
         if cfg.MODEL.WEIGHTS:
-            from .checkpoint import overlay_params
+            from .checkpoint import load_any_checkpoint, overlay_params
 
-            loaded = load_torch_checkpoint(cfg.MODEL.WEIGHTS)
+            loaded = load_any_checkpoint(cfg.MODEL.WEIGHTS)
             # Partial overlays (e.g. ImageNet trunk) keep the fresh init for
             # everything the checkpoint doesn't cover.
             self.params = overlay_params(self.params, loaded)
