@@ -16,11 +16,10 @@ reference's ``TrainingSampler``/worker processes; per-host sharding
 
 from __future__ import annotations
 
-import itertools
 import logging
 import queue
 import threading
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 

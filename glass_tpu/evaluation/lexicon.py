@@ -9,7 +9,7 @@ accepted when the distance is below the threshold.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import Levenshtein

@@ -18,15 +18,14 @@ with zip-compatible entry points in evaluator.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
 
 import numpy as np
 import Levenshtein
 
 from .polygon import (
     polygon_area,
-    polygon_iou,
     polygon_intersection_area,
     pairwise_polygon_iou,
 )

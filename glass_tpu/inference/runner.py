@@ -13,7 +13,6 @@ one ``jax.jit`` call per image.
 from __future__ import annotations
 
 import logging
-import math
 from typing import List, Optional, Tuple
 
 import numpy as np

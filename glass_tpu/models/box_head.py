@@ -22,11 +22,7 @@ import jax.numpy as jnp
 
 from . import layers as L
 from .context import Ctx
-from ..ops.boxes import (
-    apply_deltas,
-    clip_rotated_boxes,
-    overwrite_orientations_on_boxes,
-)
+from ..ops.boxes import clip_rotated_boxes, overwrite_orientations_on_boxes
 from ..ops.nms_rotated import nms_rotated_mask, NEG_INF
 
 

@@ -21,16 +21,13 @@ divisibility) would never generate.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from .context import Ctx
-from . import layers as L
 from .resnet import resnet50_apply, init_resnet50
 from .fpn import fpn_apply, init_fpn, FPN_LEVEL_STRIDES
 from . import rpn as rpn_mod
@@ -50,7 +47,7 @@ from .recognizer import (
     aster_decode_greedy,
     init_recognizer,
 )
-from ..ops.boxes import apply_deltas, clip_rotated_boxes
+from ..ops.boxes import apply_deltas
 from ..ops.roi_align_rotated import roi_align_rotated, assign_boxes_to_levels
 
 

@@ -23,8 +23,6 @@ each decode step is a batched MXU matmul over all words at once.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

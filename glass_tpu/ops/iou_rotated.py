@@ -17,8 +17,6 @@ Peak memory is bounded by chunking the M axis through ``lax.map``.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -14,8 +14,7 @@ program drives all chips through a ``jax.sharding.Mesh``:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

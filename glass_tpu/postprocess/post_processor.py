@@ -19,8 +19,6 @@ device-side kernels exist in ``glass_tpu.ops`` for fully-on-device serving).
 from __future__ import annotations
 
 import logging
-from typing import Optional
-
 import numpy as np
 
 from ..structures import Instances

@@ -24,7 +24,6 @@ from typing import Dict
 
 import logging
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -29,7 +29,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models import layers as L
 from ..models.context import Ctx
 from ..models.glass_rcnn import (
     GlassArch,
@@ -39,7 +38,7 @@ from ..models.glass_rcnn import (
 )
 from ..models import rpn as rpn_mod
 from ..models import box_head as bh
-from ..models.fusion import p2p3_fusion_apply, gc_attention_apply
+from ..models.fusion import p2p3_fusion_apply
 from ..models.local_extractor import local_extractor_apply
 from ..models.mask_head import mask_head_apply
 from ..models.recognizer import recognizer_layers_apply, aster_decode_train

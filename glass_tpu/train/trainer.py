@@ -17,7 +17,6 @@ from typing import Optional
 
 import jax
 import numpy as np
-import optax
 
 from ..config import CfgNode
 from ..models import GlassArch, init_glass_params
@@ -25,7 +24,7 @@ from ..parallel import make_mesh, shard_batch, make_parallel_train_step
 from ..data import DatasetManager, DatasetMapper, build_train_loader
 from .train_step import TrainConfig, glass_train_forward
 from .optimizer import build_optimizer
-from .checkpoint import save_checkpoint, load_checkpoint, load_torch_checkpoint
+from .checkpoint import save_checkpoint, load_checkpoint
 from ..utils.events import EventStorage
 
 logger = logging.getLogger(__name__)

@@ -8,7 +8,6 @@ training curves.
 from __future__ import annotations
 
 import json
-import os
 from collections import defaultdict
 from typing import Dict, Optional
 
