@@ -105,6 +105,7 @@ class GlassArch:
     mask_num_conv: int = 4
     # Execution
     compute_dtype: str = "float32"
+    remat_backbone: bool = False
 
     @classmethod
     def from_config(cls, cfg) -> "GlassArch":
@@ -156,6 +157,7 @@ class GlassArch:
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+            remat_backbone=cfg.TPU.REMAT_BACKBONE,
         )
 
 

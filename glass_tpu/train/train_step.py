@@ -195,7 +195,18 @@ def glass_train_forward(
     keys = jax.random.split(key, 8)
 
     norm = preprocess(arch, batch["images"])
-    feats = backbone_features(ctx, arch, params, norm)
+    if arch.remat_backbone:
+        # Rematerialize backbone activations in the backward pass; BN stat
+        # updates come out as explicit outputs (side-effect-free under remat).
+        def _bb(p, x):
+            ctx2 = Ctx(train=True, axis_name=axis_name)
+            f = backbone_features(ctx2, arch, p, x)
+            return f, ctx2.bn_updates
+
+        feats, bn_up = jax.checkpoint(_bb)(params, norm)
+        ctx.bn_updates.update(bn_up)
+    else:
+        feats = backbone_features(ctx, arch, params, norm)
 
     # ---- RPN -----------------------------------------------------------
     rpn_features = [feats[f] for f in arch.rpn_in_features]
