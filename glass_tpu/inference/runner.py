@@ -112,10 +112,13 @@ class GlassRunner:
         bh, bw = self._pick_bucket(h, w)
         padded = np.zeros((bh, bw, 3), np.float32)
         padded[:h, :w] = image
-        out = self._jit_fn(
-            self.params, jnp.asarray(padded), jnp.asarray([h, w], jnp.int32)
-        )
-        out = jax.tree_util.tree_map(np.asarray, out)
+        if self.cfg.TPU.TWO_STAGE_INFERENCE:
+            out = self._run_two_stage(padded, (h, w))
+        else:
+            out = self._jit_fn(
+                self.params, jnp.asarray(padded), jnp.asarray([h, w], jnp.int32)
+            )
+            out = jax.tree_util.tree_map(np.asarray, out)
         valid = out["valid"]
         inst = Instances(
             (h, w),
@@ -130,6 +133,54 @@ class GlassRunner:
             inst.pred_masks = out["mask_probs"][valid]
             inst.pred_rboxes = out["boxes"][valid]
         return inst
+
+    def _run_two_stage(self, padded: np.ndarray, hw) -> dict:
+        """Two-stage inference: detect, then recognize at the smallest word
+        bucket covering the actual detection count (TPU.WORD_BUCKETS)."""
+        from ..models.glass_rcnn import glass_detect_stage, glass_heads_stage
+
+        if not hasattr(self, "_jit_detect"):
+            arch = self.arch
+            self._jit_detect = jax.jit(
+                lambda p, img, hw_: glass_detect_stage(arch, p, img, hw_)
+            )
+            self._jit_heads = {}
+        det, feats, norm = self._jit_detect(
+            self.params, jnp.asarray(padded), jnp.asarray(hw, jnp.int32)
+        )
+        det_np = jax.tree_util.tree_map(np.asarray, det)
+        n = int(det_np["valid"].sum())
+        buckets = sorted(self.cfg.TPU.WORD_BUCKETS) + [self.arch.detections_per_image]
+        cap = next(b for b in buckets if b >= n)
+
+        boxes = np.zeros((cap, 5), np.float32)
+        boxes[:, 2:4] = 1.0
+        order = np.argsort(~det_np["valid"])  # valid rows first (stable)
+        sel = order[:cap]
+        k = min(n, cap)
+        boxes[:k] = det_np["boxes"][order[:k]]
+
+        if cap not in self._jit_heads:
+            arch = self.arch
+            self._jit_heads[cap] = jax.jit(
+                lambda p, f, nm, bx: glass_heads_stage(arch, p, f, nm, bx)
+            )
+        heads = self._jit_heads[cap](self.params, feats, norm, jnp.asarray(boxes))
+        heads = jax.tree_util.tree_map(np.asarray, heads)
+
+        d = self.arch.detections_per_image
+        out = dict(det_np)
+        if "text_probs" in heads:
+            t = heads["text_probs"]
+            full = np.zeros((d,) + t.shape[1:], t.dtype)
+            full[order[:k]] = t[:k]
+            out["text_probs"] = full
+        if "mask_probs" in heads:
+            m = heads["mask_probs"]
+            full = np.zeros((d,) + m.shape[1:], m.dtype)
+            full[order[:k]] = m[:k]
+            out["mask_probs"] = full
+        return out
 
     def run_batch_on_resized(self, images: List[np.ndarray]) -> List[Instances]:
         """Batched inference over same-bucket resized images (one vmapped

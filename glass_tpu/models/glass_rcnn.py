@@ -459,6 +459,37 @@ def glass_inference_single(
     return out
 
 
+def glass_detect_stage(arch: GlassArch, params: dict, image: jnp.ndarray,
+                       content_hw: jnp.ndarray):
+    """Stage 1 of two-stage inference: detection only; features stay on
+    device for stage 2."""
+    ctx = Ctx(train=False)
+    norm = preprocess(arch, image)
+    feats = backbone_features(ctx, arch, params, norm[None])
+    det = detect_single_image(ctx, arch, params, feats, content_hw)
+    return {
+        "boxes": det.boxes,
+        "scores": det.scores,
+        "classes": det.classes,
+        "orientations": det.orientations,
+        "valid": det.valid,
+    }, feats, norm
+
+
+def glass_heads_stage(arch: GlassArch, params: dict, feats, norm: jnp.ndarray,
+                      boxes: jnp.ndarray) -> dict:
+    """Stage 2: recognizer (+mask) on a word-bucketed box set."""
+    ctx = Ctx(train=False)
+    out = {}
+    if arch.recognizer_on:
+        out["text_probs"] = recognize_single_image(ctx, arch, params, feats, norm, boxes)
+    if arch.mask_on and arch.mask_inference:
+        out["mask_probs"] = mask_single_image(
+            ctx, arch, params, feats, boxes, jnp.zeros((boxes.shape[0],), jnp.int32)
+        )
+    return out
+
+
 def make_inference_fn(arch: GlassArch):
     """Returns jit-compiled single-image inference (donated image buffer)."""
     return jax.jit(partial(glass_inference_single, arch))
