@@ -4,15 +4,17 @@ Replaces detectron2's C++/CUDA ``box_iou_rotated`` kernel (used from
 ``glass/structures/boxes.py:33``, proposal matching in
 ``recognizers_hybrid_head.py:252`` and the rotated NMS family).
 
-The rectangle-intersection area uses the same construction as the reference
-dependency's CUDA kernel — 16 edge-pair intersection points + 8 contained
-vertices, ordered by angle, integrated with a shoelace — but laid out for
-the TPU's (8, 128) vector registers: every per-candidate-point quantity is
-shaped ``(24, M, N)`` with the large pair axes minor-most, so the VPU lanes
-run across box pairs instead of across a padded 24-point axis.  The angular
-ordering is a single multi-operand ``lax.sort`` along the 24-axis.
+The intersection area is computed WITHOUT collecting or ordering the
+intersection polygon: by Green's theorem, ``area(P ∩ Q) = ∮ x dy`` over the
+intersection boundary, which decomposes into the parts of P's edges inside
+Q plus the parts of Q's edges inside P.  Each part is a parametric
+sub-segment found by clipping the edge's parameter interval against the
+other rectangle's four half-planes (a slab test), and its ``∫ x dy``
+contribution is a closed form in the interval endpoints.  That is ~40 flops
+per edge — no candidate sort, no transcendentals — laid out with the pair
+axes minor-most for the (8, 128) vector tiles.
 
-Peak memory is bounded by chunking the M axis through ``lax.map``.
+Peak memory is bounded by chunking the first box axis through a static loop.
 """
 
 from __future__ import annotations
@@ -22,106 +24,87 @@ import jax.numpy as jnp
 
 from .boxes import boxes_to_polygons
 
-_EPS = 1e-8
 _CHUNK = 128
 
 
-def _intersection_chunk(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """Intersection areas for polygon chunks.
+def _edges_inside_integral(p, pn, q, qn, eps=0.0):
+    """Sum of ``∮ x dy`` over the parts of P's edges inside Q.
+
+    ``eps > 0`` makes the inside test strict — used for the second sum so
+    boundary segments shared by both rectangles (identical/abutting boxes)
+    are counted exactly once.
 
     Args:
-        p1: (M, 4, 2) convex quads (interior on the positive-cross side of
-            each directed edge — the ``boxes_to_polygons`` order).
-        p2: (N, 4, 2).
+        p, pn: (4, M, 1, 2)-style split coords — here passed as tuples of
+            (x, y) arrays with shapes broadcastable to (4, M, N).
+        q, qn: the clipping rectangle's edges, (4, 1, N)-broadcastable.
 
-    Returns:
-        (M, N) areas.
+    All polygons must have the interior on the positive-cross side of each
+    directed edge (the ``boxes_to_polygons`` order).
     """
-    m, n = p1.shape[0], p2.shape[0]
-    # Coordinates laid out point-major: (4, M, 1) and (4, 1, N).
-    px = p1[:, :, 0].T[:, :, None]
-    py = p1[:, :, 1].T[:, :, None]
-    qx = p2[:, :, 0].T[:, None, :]
-    qy = p2[:, :, 1].T[:, None, :]
-    pnx = jnp.roll(px, -1, axis=0)
-    pny = jnp.roll(py, -1, axis=0)
-    qnx = jnp.roll(qx, -1, axis=0)
-    qny = jnp.roll(qy, -1, axis=0)
-    dpx, dpy = pnx - px, pny - py  # (4, M, 1)
-    dqx, dqy = qnx - qx, qny - qy  # (4, 1, N)
+    px, py = p
+    pnx, pny = pn
+    qx, qy = q
+    qnx, qny = qn
 
-    # --- 16 edge-edge intersections: axes (4_p, 4_q, M, N) ----------------
-    rx = qx[None] - px[:, None]  # (4, 4, M, N)
-    ry = qy[None] - py[:, None]
-    a_dpx, a_dpy = dpx[:, None], dpy[:, None]
-    a_dqx, a_dqy = dqx[None], dqy[None]
-    denom = a_dpx * a_dqy - a_dpy * a_dqx
-    safe = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
-    t = (rx * a_dqy - ry * a_dqx) / safe
-    u = (rx * a_dpy - ry * a_dpx) / safe
-    inter_ok = (
-        (jnp.abs(denom) >= _EPS)
-        & (t >= -1e-6) & (t <= 1 + 1e-6)
-        & (u >= -1e-6) & (u <= 1 + 1e-6)
+    dx = pnx - px  # (4p, M, 1)
+    dy = pny - py
+
+    # Segment point: s(t) = p + t*d.  Inside condition for clip edge j:
+    # cross(qd_j, s(t) - q_j) >= 0  ->  c0 + t*c1 >= 0.
+    qdx = (qnx - qx)[None]  # (1, 4q, 1, N)
+    qdy = (qny - qy)[None]
+    c0 = qdx * (py[:, None] - qy[None]) - qdy * (px[:, None] - qx[None]) - eps
+    c1 = qdx * dy[:, None] - qdy * dx[:, None]  # (4p, 4q, M, N)
+
+    # Parameter interval [t_lo, t_hi] of the inside part.
+    big = 1e30
+    safe_c1 = jnp.where(jnp.abs(c1) < 1e-12, 1e-12, c1)
+    t_cross = -c0 / safe_c1
+    # c1 > 0: entering (t >= t_cross); c1 < 0: leaving (t <= t_cross);
+    # c1 ~ 0: inside iff c0 >= 0 (whole interval or nothing).
+    degenerate = jnp.abs(c1) < 1e-12
+    lo_j = jnp.where(degenerate, jnp.where(c0 >= 0, -big, big), jnp.where(c1 > 0, t_cross, -big))
+    hi_j = jnp.where(degenerate, jnp.where(c0 >= 0, big, -big), jnp.where(c1 < 0, t_cross, big))
+    t_lo = jnp.clip(jnp.max(lo_j, axis=1), 0.0, 1.0)  # (4p, M, N)
+    t_hi = jnp.clip(jnp.min(hi_j, axis=1), 0.0, 1.0)
+    t_hi = jnp.maximum(t_hi, t_lo)
+
+    # ∫_{t_lo}^{t_hi} (px + t dx) dy dt = dy * (px*(t_hi-t_lo) + dx*(t_hi^2-t_lo^2)/2)
+    seg = dy * (px * (t_hi - t_lo) + dx * (t_hi**2 - t_lo**2) * 0.5)
+    return jnp.sum(seg, axis=0)  # (M, N)
+
+
+def _intersection_chunk(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Intersection areas for polygon chunks: (M,4,2) x (N,4,2) -> (M,N)."""
+    # Point-major coordinate layouts with pair axes minor-most.
+    p1x = p1[:, :, 0].T[:, :, None]  # (4, M, 1)
+    p1y = p1[:, :, 1].T[:, :, None]
+    p2x = p2[:, :, 0].T[:, None, :]  # (4, 1, N)
+    p2y = p2[:, :, 1].T[:, None, :]
+    # Recenter every pair at the midpoint of the two box centers: the cross
+    # products in the slab tests cancel catastrophically in f32 at
+    # image-scale coordinates, and only nearby pairs (small relative
+    # coordinates) have nonzero intersections anyway.
+    cx = (jnp.mean(p1x, axis=0) + jnp.mean(p2x, axis=0)) * 0.5  # (M, N)
+    cy = (jnp.mean(p1y, axis=0) + jnp.mean(p2y, axis=0)) * 0.5
+    p1x, p1y = p1x - cx, p1y - cy
+    p2x, p2y = p2x - cx, p2y - cy
+    p1nx = jnp.roll(p1x, -1, axis=0)
+    p1ny = jnp.roll(p1y, -1, axis=0)
+    p2nx = jnp.roll(p2x, -1, axis=0)
+    p2ny = jnp.roll(p2y, -1, axis=0)
+
+    # Tolerances (cross-product units ~ px^2; geometric effect ~1e-4 px):
+    # the first sum includes its own boundary (negative eps guards float
+    # cancellation on c0 ~ 0), the second excludes it strictly, so shared
+    # boundary segments are counted exactly once.
+    total = _edges_inside_integral(
+        (p1x, p1y), (p1nx, p1ny), (p2x, p2y), (p2nx, p2ny), eps=-1e-2
+    ) + _edges_inside_integral(
+        (p2x, p2y), (p2nx, p2ny), (p1x, p1y), (p1nx, p1ny), eps=1e-2
     )
-    ix = px[:, None] + t * a_dpx
-    iy = py[:, None] + t * a_dpy
-
-    # --- containment tests ------------------------------------------------
-    # p's vertices inside q: side of (4_q edges) x (4_p points) -> (4p, M, N)
-    side_pq = (
-        a_dqx * (py[:, None] - qy[None]) - a_dqy * (px[:, None] - qx[None])
-    )  # (4p, 4q, M, N): cross(dq_j, p_i - q_j)
-    p_in_q = jnp.all(side_pq >= -1e-6, axis=1)  # (4, M, N)
-    # cross(dp_i, q_j - p_i) over all p edges i for each q point j:
-    side_qp = (
-        dpx[:, None] * (qy[None] - py[:, None]) - dpy[:, None] * (qx[None] - px[:, None])
-    )  # (4p_edges, 4q_points, M, N)
-    q_in_p = jnp.all(side_qp >= -1e-6, axis=0)  # (4, M, N)
-
-    # --- gather the 24 candidates ----------------------------------------
-    cand_x = jnp.concatenate(
-        [
-            ix.reshape(16, m, n),
-            jnp.broadcast_to(px, (4, m, n)),
-            jnp.broadcast_to(qx, (4, m, n)),
-        ],
-        axis=0,
-    )
-    cand_y = jnp.concatenate(
-        [
-            iy.reshape(16, m, n),
-            jnp.broadcast_to(py, (4, m, n)),
-            jnp.broadcast_to(qy, (4, m, n)),
-        ],
-        axis=0,
-    )
-    valid = jnp.concatenate([inter_ok.reshape(16, m, n), p_in_q, q_in_p], axis=0)
-
-    count = jnp.sum(valid, axis=0)  # (M, N)
-    denom_c = jnp.maximum(count, 1).astype(cand_x.dtype)
-    cx = jnp.sum(jnp.where(valid, cand_x, 0.0), axis=0) / denom_c
-    cy = jnp.sum(jnp.where(valid, cand_y, 0.0), axis=0) / denom_c
-
-    # Diamond pseudo-angle: monotone in atan2 at ~4 flops instead of a
-    # transcendental per candidate (24 per pair).
-    dy = cand_y - cy
-    dx = cand_x - cx
-    t = dy / (jnp.abs(dx) + jnp.abs(dy) + 1e-12)
-    ang = jnp.where(dx >= 0, t, 2.0 - t)  # (-1, 3], increasing with angle
-    ang = jnp.where(valid, ang, 1e9)
-    # Multi-operand sort along the candidate axis: one pass orders x and y.
-    _, sx, sy = jax.lax.sort((ang, cand_x, cand_y), dimension=0, num_keys=1)
-
-    # Masked shoelace over the first `count` sorted points, with wraparound.
-    idx = jnp.arange(24)[:, None, None]
-    nxt_is_first = idx + 1 >= count[None]
-    sx_next = jnp.where(nxt_is_first, sx[0][None], jnp.roll(sx, -1, axis=0))
-    sy_next = jnp.where(nxt_is_first, sy[0][None], jnp.roll(sy, -1, axis=0))
-    cross = sx * sy_next - sx_next * sy
-    cross = jnp.where(idx < count[None], cross, 0.0)
-    area = 0.5 * jnp.abs(jnp.sum(cross, axis=0))
-    return jnp.where(count >= 3, area, 0.0)
+    return jnp.abs(total)
 
 
 def _pairwise_intersection_impl(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
