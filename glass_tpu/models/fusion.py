@@ -89,6 +89,36 @@ def gc_attention_mul_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int 
     return L.conv2d(out, params["out"]["weight"], params["out"]["bias"], padding=1)
 
 
+def gc_attention_concat_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int = 8):
+    """fusion_type='channel_concat' (fusion_modules.py:66-73,144-155):
+    context bottleneck -> concat broadcast -> 1x1 cat conv -> LayerNorm over
+    (C, H, W) -> ReLU -> 3x3 out conv."""
+    n, h, w, c = x.shape
+    half = c // 2
+    order = jnp.stack([jnp.arange(half), jnp.arange(half) + half], axis=1).reshape(-1)
+    x = x[..., order]
+    ch_per_head = c // headers
+    xh = x.reshape(n, h * w, headers, ch_per_head)
+    w_mask = params["conv_mask"]["weight"].reshape(ch_per_head).astype(x.dtype)
+    b_mask = params["conv_mask"]["bias"].astype(x.dtype)
+    mask = jax.nn.softmax(jnp.einsum("nphc,c->nph", xh, w_mask) + b_mask, axis=1)
+    context = jnp.einsum("nphc,nph->nhc", xh, mask).reshape(n, c)
+    cc = params["channel_concat_conv"]
+    t = L.linear(context, cc["0"]["weight"].reshape(-1, c), cc["0"]["bias"])
+    t = L.layer_norm(t, cc["1"]["weight"].reshape(-1), cc["1"]["bias"].reshape(-1), axes=(-1,))
+    t = jnp.maximum(t, 0)
+    t = L.linear(t, cc["3"]["weight"].reshape(-1, t.shape[-1]), cc["3"]["bias"])
+    out = jnp.concatenate(
+        [x, jnp.broadcast_to(t[:, None, None, :], (n, h, w, c))], axis=-1
+    )
+    out = L.conv2d(out, params["cat_conv"]["weight"], params["cat_conv"].get("bias"))
+    # F.layer_norm over [C, H, W]: normalize jointly over channels+space.
+    mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(out, axis=(1, 2, 3), keepdims=True)
+    out = jnp.maximum((out - mean) / jnp.sqrt(var + 1e-5), 0)
+    return L.conv2d(out, params["out"]["weight"], params["out"]["bias"], padding=1)
+
+
 def simple_attention_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int = 8):
     """SimpleAttention (fusion_modules.py:161-186): x * linear(x), 1x1 conv."""
     t = L.linear(x, params["linear"]["weight"]) * x
@@ -108,6 +138,7 @@ def conv1x1_fusion_apply(ctx: Ctx, params: dict, x: jnp.ndarray, headers: int = 
 FUSION_MODULES = {
     ("MultiAspectGCAttention", "channel_add"): gc_attention_apply,
     ("MultiAspectGCAttention", "channel_mul"): gc_attention_mul_apply,
+    ("MultiAspectGCAttention", "channel_concat"): gc_attention_concat_apply,
     ("SimpleAttention", None): simple_attention_apply,
     ("LocalOnly", None): local_only_apply,
     ("Conv1x1", None): conv1x1_fusion_apply,
