@@ -279,24 +279,21 @@ def _multilevel_pool(
     out_hw: Tuple[int, int],
     sampling_ratio: int,
 ) -> jnp.ndarray:
-    """detectron2 multi-level ROIPooler over single-image features."""
-    levels = [FPN_LEVEL_STRIDES[f] for f in in_features]
-    min_level = int(math.log2(levels[0]))
-    max_level = int(math.log2(levels[-1]))
-    assignment = assign_boxes_to_levels(rois, min_level, max_level)
-    pooled = []
-    for f, stride in zip(in_features, levels):
-        pooled.append(
-            roi_align_rotated(
-                feats[f][0],
-                rois,
-                out_hw,
-                spatial_scale=1.0 / stride,
-                sampling_ratio=sampling_ratio,
-            )
-        )
-    stacked = jnp.stack(pooled, 0)
-    return jnp.take_along_axis(stacked, assignment[None, :, None, None, None], axis=0)[0]
+    """detectron2 multi-level ROIPooler over single-image features.
+
+    Uses the packed-pyramid formulation (each roi gathers only from its
+    assigned level) — see ``ops.multilevel_roi_align_rotated_packed``.
+    """
+    from ..ops.roi_align_rotated import multilevel_roi_align_rotated_packed
+
+    strides = [FPN_LEVEL_STRIDES[f] for f in in_features]
+    return multilevel_roi_align_rotated_packed(
+        [feats[f][0] for f in in_features],
+        rois,
+        out_hw,
+        strides,
+        sampling_ratio=sampling_ratio,
+    )
 
 
 def box_head_predictions(

@@ -224,6 +224,148 @@ def assign_boxes_to_levels(
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
 
 
+def _packed_pool_impl(
+    flat, level_meta, rois, levels, pooled_h, pooled_w, grid, sampling_ratio
+):
+    """Core of the packed-pyramid pooler; shapes static except roi values.
+
+    flat: (sum HW, C) concatenated level maps.
+    level_meta: (L, 4) float32 rows [stride, H, W, row_offset].
+    levels: (R,) level index per roi.
+    """
+    channels = flat.shape[1]
+    r = rois.shape[0]
+    meta = level_meta[levels]  # (R, 4)
+    stride = meta[:, 0]
+    height = meta[:, 1]
+    width = meta[:, 2]
+    base = meta[:, 3].astype(jnp.int32)
+    inv_scale = 1.0 / stride
+
+    cx = rois[:, 0] * inv_scale - 0.5
+    cy = rois[:, 1] * inv_scale - 0.5
+    rw = rois[:, 2] * inv_scale
+    rh = rois[:, 3] * inv_scale
+    theta = rois[:, 4] * jnp.pi / 180.0
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+
+    bin_h = rh / pooled_h
+    bin_w = rw / pooled_w
+    if sampling_ratio > 0:
+        g_h = jnp.full_like(bin_h, sampling_ratio)
+        g_w = jnp.full_like(bin_w, sampling_ratio)
+    else:
+        g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, grid)
+        g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, grid)
+
+    ph = jnp.arange(pooled_h, dtype=jnp.float32)
+    pw = jnp.arange(pooled_w, dtype=jnp.float32)
+    gi = jnp.arange(grid, dtype=jnp.float32)
+
+    yy = (
+        -rh[:, None, None] / 2.0
+        + ph[None, :, None] * bin_h[:, None, None]
+        + (gi[None, None, :] + 0.5) * bin_h[:, None, None] / g_h[:, None, None]
+    )
+    xx = (
+        -rw[:, None, None] / 2.0
+        + pw[None, :, None] * bin_w[:, None, None]
+        + (gi[None, None, :] + 0.5) * bin_w[:, None, None] / g_w[:, None, None]
+    )
+    s = pooled_h * pooled_w * grid * grid
+    yy_f = jnp.broadcast_to(yy[:, :, None, :, None], (r, pooled_h, pooled_w, grid, grid)).reshape(r, s)
+    xx_f = jnp.broadcast_to(xx[:, None, :, None, :], (r, pooled_h, pooled_w, grid, grid)).reshape(r, s)
+
+    y = yy_f * cos_t[:, None] - xx_f * sin_t[:, None] + cy[:, None]
+    x = yy_f * sin_t[:, None] + xx_f * cos_t[:, None] + cx[:, None]
+
+    h_r = height[:, None]
+    w_r = width[:, None]
+    outside = (y < -1.0) | (y > h_r) | (x < -1.0) | (x > w_r)
+    y = jnp.clip(y, 0.0, None)
+    x = jnp.clip(x, 0.0, None)
+    y_low = jnp.minimum(jnp.floor(y), h_r - 1)
+    x_low = jnp.minimum(jnp.floor(x), w_r - 1)
+    y = jnp.where(y_low >= h_r - 1, y_low, y)
+    x = jnp.where(x_low >= w_r - 1, x_low, x)
+    ly = y - y_low
+    lx = x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
+    yi = y_low.astype(jnp.int32)
+    xi = x_low.astype(jnp.int32)
+    wi = width.astype(jnp.int32)[:, None]
+    yi1 = jnp.minimum(yi + 1, h_r.astype(jnp.int32) - 1)
+    xi1 = jnp.minimum(xi + 1, w_r.astype(jnp.int32) - 1)
+
+    grid_mask = (
+        (jnp.arange(grid)[None, :, None] < g_h[:, None, None])
+        & (jnp.arange(grid)[None, None, :] < g_w[:, None, None])
+    )
+    mask_f = jnp.broadcast_to(
+        grid_mask[:, None, None, :, :], (r, pooled_h, pooled_w, grid, grid)
+    ).reshape(r, s)
+    count = (g_h * g_w)[:, None]
+    w00 = jnp.where(outside | ~mask_f, 0.0, hy * hx) / count
+    w01 = jnp.where(outside | ~mask_f, 0.0, hy * lx) / count
+    w10 = jnp.where(outside | ~mask_f, 0.0, ly * hx) / count
+    w11 = jnp.where(outside | ~mask_f, 0.0, ly * lx) / count
+
+    b = base[:, None]
+    i00 = (b + yi * wi + xi).reshape(-1)
+    i01 = (b + yi * wi + xi1).reshape(-1)
+    i10 = (b + yi1 * wi + xi).reshape(-1)
+    i11 = (b + yi1 * wi + xi1).reshape(-1)
+
+    acc = (
+        flat[i00] * w00.reshape(-1, 1).astype(flat.dtype)
+        + flat[i01] * w01.reshape(-1, 1).astype(flat.dtype)
+        + flat[i10] * w10.reshape(-1, 1).astype(flat.dtype)
+        + flat[i11] * w11.reshape(-1, 1).astype(flat.dtype)
+    )
+    acc = acc.reshape(r, pooled_h * pooled_w, grid * grid, channels).sum(axis=2)
+    return acc.reshape(r, pooled_h, pooled_w, channels)
+
+
+def multilevel_roi_align_rotated_packed(
+    features: list,
+    rois: jnp.ndarray,
+    output_size: tuple,
+    strides: list,
+    sampling_ratio: int = 0,
+    max_sampling_ratio: int = 4,
+) -> jnp.ndarray:
+    """detectron2 multi-level ``ROIPooler``, single-gather formulation.
+
+    Instead of pooling every roi from every level and selecting (a 5x
+    compute/gather overhead), the level maps are concatenated row-wise into
+    one flat (sum HW, C) buffer and each roi's samples index its assigned
+    level through a per-roi (stride, H, W, row-offset) record.  Exactly the
+    detectron2 assignment + ROIAlignRotated semantics at 1/L of the work.
+    """
+    pooled_h, pooled_w = output_size
+    min_level = int(strides[0]).bit_length() - 1
+    levels = assign_boxes_to_levels(rois, min_level, min_level + len(features) - 1)
+    channels = features[0].shape[-1]
+    flats = [f.reshape(-1, channels) for f in features]
+    sizes = [f.shape[0] * f.shape[1] for f in features]
+    offsets = [0]
+    for sz in sizes[:-1]:
+        offsets.append(offsets[-1] + sz)
+    flat = jnp.concatenate(flats, axis=0)
+    level_meta = jnp.asarray(
+        [
+            [float(s), float(f.shape[0]), float(f.shape[1]), float(off)]
+            for f, s, off in zip(features, strides, offsets)
+        ],
+        jnp.float32,
+    )
+    grid = sampling_ratio if sampling_ratio > 0 else max_sampling_ratio
+    return _packed_pool_impl(
+        flat, level_meta, rois.astype(jnp.float32), levels,
+        pooled_h, pooled_w, grid, sampling_ratio,
+    )
+
+
 def multilevel_roi_align_rotated(
     features: list,
     rois: jnp.ndarray,
