@@ -162,19 +162,29 @@ def init_p2p3_fusion(key, channels: int = 256) -> dict:
     }
 
 
+# Param subtree name for each GC fusion_type (matches the torch module
+# attribute created in reference fusion_modules.py:60-79).
+_GC_BOTTLENECK_NAME = {
+    "channel_add": "channel_add_conv",
+    "channel_mul": "channel_mul_conv",
+    "channel_concat": "channel_concat_conv",
+}
+
+
 def init_gc_attention(
-    key, inplanes: int = 512, ratio: float = 0.5, headers: int = 8, outplane: int = 256
+    key, inplanes: int = 512, ratio: float = 0.5, headers: int = 8,
+    outplane: int = 256, fusion_type: str = "channel_add",
 ) -> dict:
-    ks = jax.random.split(key, 4)
+    ks = jax.random.split(key, 5)
     planes = int(inplanes * ratio)
     single = inplanes // headers
     kw = 1.0 / (single**0.5)
-    return {
+    params = {
         "conv_mask": {
             "weight": jax.random.uniform(ks[0], (1, 1, single, 1), jnp.float32, -kw, kw),
             "bias": jnp.zeros((1,), jnp.float32),
         },
-        "channel_add_conv": {
+        _GC_BOTTLENECK_NAME[fusion_type]: {
             "0": {
                 "weight": jax.random.uniform(
                     ks[1], (planes, inplanes), jnp.float32,
@@ -202,3 +212,34 @@ def init_gc_attention(
             "bias": jnp.zeros((outplane,), jnp.float32),
         },
     }
+    if fusion_type == "channel_concat":
+        kc = 1.0 / (2 * inplanes) ** 0.5
+        params["cat_conv"] = {
+            "weight": jax.random.uniform(
+                ks[4], (1, 1, 2 * inplanes, inplanes), jnp.float32, -kc, kc
+            ),
+            "bias": jnp.zeros((inplanes,), jnp.float32),
+        }
+    return params
+
+
+def init_fusion(
+    key, name: str = "MultiAspectGCAttention", fusion_type: str = "channel_add",
+    inplanes: int = 512, ratio: float = 0.5, headers: int = 8, outplane: int = 256,
+) -> dict:
+    """Init the param tree for the configured fusion module (any variant)."""
+    if name == "MultiAspectGCAttention":
+        return init_gc_attention(key, inplanes, ratio, headers, outplane, fusion_type)
+    if name == "SimpleAttention":
+        k1, k2 = jax.random.split(key)
+        kl = 1.0 / inplanes**0.5
+        return {
+            "linear": {"weight": jax.random.uniform(
+                k1, (inplanes, inplanes), jnp.float32, -kl, kl)},
+            "conv": {"weight": L.c2_msra_fill(k2, (1, 1, inplanes, outplane))},
+        }
+    if name == "LocalOnly":
+        return {}
+    if name == "Conv1x1":
+        return {"conv": {"weight": L.c2_msra_fill(key, (1, 1, inplanes, outplane))}}
+    raise NotImplementedError(f"fusion init {name}")

@@ -38,7 +38,7 @@ from .fusion import (
     gc_attention_apply,
     apply_fusion,
     init_p2p3_fusion,
-    init_gc_attention,
+    init_fusion,
 )
 from .local_extractor import local_extractor_apply, init_local_extractor
 from .mask_head import mask_head_apply, mask_inference_probs, init_mask_head
@@ -116,6 +116,17 @@ class GlassArch:
             rec = cfg.MODEL.ROI_RECOGNIZER_HEAD
         else:
             rec = cfg.MODEL.ROI_MASK_HEAD
+        # The static-shape inference path reads scores[:, 0] and runs one
+        # class-agnostic NMS (box_head.py) — valid only for GLASS's single
+        # 'word' class.  The reference does per-class NMS
+        # (rotated_fast_rcnn.py:88-148); fail loudly rather than run a
+        # silently-wrong multi-class mode.
+        if cfg.MODEL.ROI_HEADS.NUM_CLASSES != 1:
+            raise NotImplementedError(
+                "glass_tpu supports NUM_CLASSES == 1 (the GLASS 'word' "
+                f"class); got {cfg.MODEL.ROI_HEADS.NUM_CLASSES}. Per-class "
+                "rotated NMS is not implemented."
+            )
         return cls(
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
@@ -184,8 +195,9 @@ def init_glass_params(key, arch: GlassArch) -> dict:
     if arch.recognizer_on:
         params["roi_heads"]["recognizer_feature_fusion"] = init_p2p3_fusion(ks[5])
         params["roi_heads"]["hybrid_net"] = {"ConvNet": init_local_extractor(ks[6])}
-        params["roi_heads"]["fusion_net"] = init_gc_attention(
-            ks[7], inplanes=512, headers=arch.gc_headers
+        params["roi_heads"]["fusion_net"] = init_fusion(
+            ks[7], name=arch.fusion_name, fusion_type=arch.fusion_type,
+            inplanes=512, headers=arch.gc_headers,
         )
         params["roi_heads"]["recognizer_head"] = init_recognizer(
             ks[8], channels=256, vocab=arch.vocab_size

@@ -56,8 +56,11 @@ def convert_torch_state_dict(state: Dict[str, "np.ndarray"]) -> dict:
         if leaf == "weight" and v.ndim == 4:
             v = v.transpose(2, 3, 1, 0)
 
-        # GC attention channel_add_conv 1x1 convs: store as linear (out, in).
-        if len(parts) >= 3 and parts[-3] == "channel_add_conv" and leaf == "weight" and v.ndim == 4:
+        # GC attention bottleneck 1x1 convs: store as linear (out, in).
+        # (channel_add/mul/concat variants all use the same Sequential shape,
+        # reference fusion_modules.py:60-79; cat_conv stays a real conv.)
+        if (len(parts) >= 3 and leaf == "weight" and v.ndim == 4 and
+                parts[-3] in ("channel_add_conv", "channel_mul_conv", "channel_concat_conv")):
             # was transposed above to HWIO (1,1,I,O); bring back to (O, I)
             v = v[0, 0].T
 

@@ -38,7 +38,11 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.out_dir = cfg.OUTPUT_DIR
         os.makedirs(self.out_dir, exist_ok=True)
-        self.storage = EventStorage()
+        # d2 JSONWriter semantics: rank 0 streams scalars to metrics.json.
+        self.storage = EventStorage(
+            os.path.join(self.out_dir, "metrics.json")
+            if jax.process_index() == 0 else None
+        )
 
         seed = cfg.SEED if cfg.SEED >= 0 else 0
         key = jax.random.PRNGKey(seed)
@@ -225,6 +229,8 @@ class Trainer:
                     logger.warning("periodic eval failed: %s", e)
             if self._interrupted:
                 self.save(it)
+                self.storage.flush()
                 logger.warning("Exiting on signal at iteration %d", it)
                 return
         self.save(max_iter - 1)
+        self.storage.flush()

@@ -33,6 +33,15 @@ class EventStorage:
         self._latest[name] = value
         self._history[name].append((self._iter, value))
 
+    def flush(self) -> None:
+        """Write any pending scalars for the current iteration (call at the
+        end of training so the last logged iteration reaches disk)."""
+        if self._latest and self._fh:
+            rec = {"iteration": self._iter, **self._latest}
+            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.flush()
+            self._latest = {}
+
     def latest(self) -> Dict[str, float]:
         return dict(self._latest)
 

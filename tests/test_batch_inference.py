@@ -1,5 +1,9 @@
 """Batched runner inference consistency with single-image path."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np

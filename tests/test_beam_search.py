@@ -1,4 +1,7 @@
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 
@@ -6,6 +9,7 @@ from glass_tpu.models.recognizer import init_recognizer, aster_decode_greedy
 from glass_tpu.models.beam_search import aster_decode_beam
 
 
+@pytest.mark.slow
 def test_beam_width_1_matches_greedy():
     params = init_recognizer(jax.random.PRNGKey(0), channels=32, vocab=12)["decoder"]
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 32))

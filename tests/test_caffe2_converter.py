@@ -1,6 +1,7 @@
 """Caffe2 ImageNet R-50 pickle conversion (synthetic state dict)."""
 
 import numpy as np
+import pytest
 import jax
 
 from glass_tpu.models import GlassArch, init_glass_params
@@ -37,6 +38,7 @@ def _synthetic_c2_state():
     return state
 
 
+@pytest.mark.slow
 def test_caffe2_trunk_converts_to_backbone_shapes():
     tree = convert_caffe2_resnet50(_synthetic_c2_state())
     arch = GlassArch()

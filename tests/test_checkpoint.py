@@ -56,6 +56,7 @@ def _torchify_name_and_value(path, value):
     return path, v
 
 
+@pytest.mark.slow
 def test_converter_roundtrip_structure():
     arch = GlassArch(mask_inference=True)
     params = init_glass_params(jax.random.PRNGKey(1), arch)

@@ -1,5 +1,9 @@
 """tools/demo.py end-to-end (random weights, tiny shapes)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import sys
 

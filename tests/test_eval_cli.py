@@ -1,5 +1,9 @@
 """tools/eval_glass.py end-to-end on a synthetic dataset (random weights)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import sys

@@ -1,5 +1,9 @@
 """End-to-end smoke tests of the jitted inference graph (tiny shapes)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

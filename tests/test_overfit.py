@@ -1,5 +1,9 @@
 """Sanity: the training step actually learns (loss drops on one batch)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import optax

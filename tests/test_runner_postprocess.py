@@ -1,5 +1,9 @@
 """Runner + post-processor integration on a tiny random-weight model."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import pytest

@@ -1,5 +1,9 @@
 """Training-step tests: loss forward, gradients, and 8-device DP shard_map."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,9 @@
 """End-to-end Trainer integration on a synthetic dataset (tiny, CPU mesh)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

@@ -1,5 +1,9 @@
 """TTA runner smoke test on a tiny random-weight model."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np

@@ -1,5 +1,9 @@
 """Two-stage (word-bucketed) inference matches the single-jit path."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np
