@@ -50,6 +50,11 @@ def convert_torch_state_dict(state: Dict[str, "np.ndarray"]) -> dict:
             continue
         if leaf == "order":  # GCAttention channel-interleave buffer (constant)
             continue
+        # Non-parameter buffers some d2 exports persist: the GeneralizedRCNN
+        # normalization constants and the anchor-generator cell anchors
+        # (both re-derived from the config here).
+        if name in ("pixel_mean", "pixel_std") or "cell_anchors" in parts:
+            continue
 
         # Conv OIHW -> HWIO; torch deconv (in,out,kh,kw) -> HW(I=out)(O=in):
         # the same transpose serves both (see layers.conv_transpose2d).

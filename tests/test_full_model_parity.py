@@ -1,0 +1,240 @@
+"""Full-model checkpoint-fidelity + stage-by-stage forward parity harness.
+
+The single highest-leverage correctness test (VERDICT round 1, next #1):
+composes the WHOLE GLASS model in torch with the exact d2/GLASS module
+names released checkpoints use (see ``tests/torch_mirror.py``), saves a
+real ``.pth``, loads it through ``load_torch_checkpoint``, and asserts
+
+1. **checkpoint fidelity**: the converted tree covers the randomly
+   initialized model tree *exactly* — same leaf paths, same shapes.  Any
+   converter rename bug fails this before real weights ever arrive.
+2. **numeric parity**: every head reproduces the torch eval-mode forward
+   through the converter — RPN head, box head + predictor (incl. the
+   NCHW-flatten order), mask head, P2P3 fusion, and the full recognizer
+   chain (CNN_V1_1 -> bilsm_stack -> decoder.recognizer.decoder greedy
+   sample with the eos==0 early-exit).
+
+Backbone/FPN, GC fusion, and the local-crop CNN have their own dedicated
+parity tests (test_backbone_parity / test_fusion_parity /
+test_local_extractor_parity).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from torch_mirror import (  # noqa: E402
+    TorchGlassModel,
+    TorchRecognizerHead,
+    randomize_bn_stats,
+)
+
+from glass_tpu.config import get_cfg  # noqa: E402
+from glass_tpu.models import GlassArch, init_glass_params  # noqa: E402
+from glass_tpu.models.context import Ctx  # noqa: E402
+from glass_tpu.train.checkpoint import (  # noqa: E402
+    convert_torch_state_dict,
+    _walk_rename,
+    load_torch_checkpoint,
+)
+from glass_tpu.utils.common import flatten_dict  # noqa: E402
+
+CFG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "glass_finetune_icdar15.yaml")
+
+
+def _flat_shapes(tree):
+    return {k: tuple(np.shape(v)) for k, v in flatten_dict(tree).items()}
+
+
+@pytest.mark.slow
+def test_checkpoint_covers_model_exactly(tmp_path):
+    """A full-scale mirror .pth must map 1:1 onto init_glass_params —
+    no missing leaves, no extra leaves, no shape mismatches."""
+    cfg = get_cfg(CFG_PATH)
+    arch = GlassArch.from_config(cfg)
+    num_anchors = (len(arch.anchor_aspects) * len(arch.anchor_angles)
+                   * len(arch.anchor_sizes[0]))
+
+    torch.manual_seed(0)
+    mirror = TorchGlassModel(
+        width=64, fpn_ch=256, fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+        num_anchors=num_anchors, vocab=arch.vocab_size,
+        local_out=256, max_word_len=arch.max_word_len,
+    )
+    path = str(tmp_path / "mirror.pth")
+    torch.save({"model": mirror.state_dict()}, path)
+
+    converted = _flat_shapes(load_torch_checkpoint(path))
+    model = _flat_shapes(init_glass_params(jax.random.PRNGKey(0), arch))
+
+    assert len(model) > 400, "suspiciously small model tree — flatten broken?"
+    missing = sorted(set(model) - set(converted))
+    extra = sorted(set(converted) - set(model))
+    assert not missing, f"model leaves not covered by checkpoint: {missing[:20]}"
+    assert not extra, f"checkpoint leaves with no home in the model: {extra[:20]}"
+    mismatched = {k: (model[k], converted[k]) for k in model
+                  if model[k] != converted[k]}
+    assert not mismatched, f"shape mismatches: {dict(list(mismatched.items())[:10])}"
+
+
+def _convert(module, prefix=None):
+    sd = {k: v.detach().numpy() for k, v in module.state_dict().items()}
+    if prefix:
+        sd = {f"{prefix}.{k}": v for k, v in sd.items()}
+    tree = _walk_rename(convert_torch_state_dict(sd))
+    if prefix:
+        for p in prefix.split("."):
+            tree = tree[p]
+    return tree
+
+
+def test_rpn_head_parity(rng):
+    from glass_tpu.models.rpn import rpn_head_apply
+
+    torch.manual_seed(1)
+    from torch_mirror import TorchRPNHead
+
+    head = TorchRPNHead(32, num_anchors=12).eval()
+    feats = [rng.randn(1, 32, 8, 10).astype(np.float32),
+             rng.randn(1, 32, 4, 5).astype(np.float32)]
+    with torch.no_grad():
+        t_logits, t_deltas = head([torch.from_numpy(f) for f in feats])
+
+    params = _convert(head)
+    j_logits, j_deltas = rpn_head_apply(
+        Ctx(train=False), params,
+        [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats],
+    )
+    for lvl, (tl, td) in enumerate(zip(t_logits, t_deltas)):
+        n, a, h, w = tl.shape
+        # d2 ordering: (N, A, H, W) -> (N, H*W*A); deltas (N, A*5, H, W)
+        # -> (N, H*W*A, 5).
+        exp_logits = tl.permute(0, 2, 3, 1).reshape(n, -1).numpy()
+        exp_deltas = (td.reshape(n, a, 5, h, w).permute(0, 3, 4, 1, 2)
+                      .reshape(n, -1, 5).numpy())
+        np.testing.assert_allclose(np.asarray(j_logits[lvl]), exp_logits, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(j_deltas[lvl]), exp_deltas, atol=1e-5)
+
+
+def test_box_head_predictor_parity(rng):
+    from glass_tpu.models.box_head import box_head_apply, box_predictor_apply
+    from torch_mirror import TorchBoxHead, TorchBoxPredictor
+
+    torch.manual_seed(2)
+    ch, pool, fc = 16, 7, 24
+    head = TorchBoxHead(ch * pool * pool, fc).eval()
+    pred = TorchBoxPredictor(fc).eval()
+    x = rng.randn(5, ch, pool, pool).astype(np.float32)
+    with torch.no_grad():
+        feats = head(torch.from_numpy(x))
+        t_scores, t_deltas, t_orient = pred(feats)
+
+    hp, pp = _convert(head), _convert(pred)
+    j_feats = box_head_apply(Ctx(train=False), hp,
+                             jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(j_feats), feats.numpy(), atol=1e-4)
+    j_scores, j_deltas, j_orient = box_predictor_apply(Ctx(train=False), pp, j_feats)
+    np.testing.assert_allclose(np.asarray(j_scores), t_scores.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_deltas), t_deltas.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_orient), t_orient.numpy(), atol=1e-4)
+
+
+def test_mask_head_parity(rng):
+    from glass_tpu.models.mask_head import mask_head_apply
+    from torch_mirror import TorchMaskHead
+
+    torch.manual_seed(3)
+    head = TorchMaskHead(16, num_conv=4).eval()
+    x = rng.randn(3, 16, 14, 14).astype(np.float32)
+    with torch.no_grad():
+        expected = head(torch.from_numpy(x)).numpy()
+
+    params = _convert(head)
+    got = np.asarray(
+        mask_head_apply(Ctx(train=False), params,
+                        jnp.asarray(x.transpose(0, 2, 3, 1)), num_conv=4)
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_p2p3_fusion_parity(rng):
+    from glass_tpu.models.fusion import p2p3_fusion_apply
+    from torch_mirror import TorchP2P3Fusion
+
+    torch.manual_seed(4)
+    fusion = TorchP2P3Fusion(16).eval()
+    p2 = rng.randn(1, 16, 8, 12).astype(np.float32)
+    p3 = rng.randn(1, 16, 4, 6).astype(np.float32)
+    with torch.no_grad():
+        expected = fusion(torch.from_numpy(p2), torch.from_numpy(p3)).numpy()
+
+    params = _convert(fusion)
+    got = np.asarray(
+        p2p3_fusion_apply(Ctx(train=False), params,
+                          jnp.asarray(p2.transpose(0, 2, 3, 1)),
+                          jnp.asarray(p3.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_recognizer_chain_parity_greedy(rng):
+    """fused features -> CNN_V1_1 -> bilsm_stack -> greedy ASTER decode,
+    converted through the real naming chain (decoder.recognizer.decoder,
+    encoder.bilsm_stack)."""
+    from glass_tpu.models.recognizer import recognizer_inference
+
+    torch.manual_seed(5)
+    ch, vocab, max_len = 16, 12, 6
+    head = TorchRecognizerHead(ch, vocab, max_len).eval()
+    randomize_bn_stats(head)
+    fused = rng.randn(4, ch, 8, 32).astype(np.float32)
+    with torch.no_grad():
+        expected = head(torch.from_numpy(fused)).numpy()  # (N, max_len+1, V)
+
+    params = _convert(head, prefix="roi_heads.recognizer_head")
+    got = np.asarray(
+        recognizer_inference(Ctx(train=False), params,
+                             jnp.asarray(fused.transpose(0, 2, 3, 1)), max_len)
+    )
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_recognizer_chain_parity_teacher_forced(rng):
+    """Training-path decoder: teacher-forced logits match torch."""
+    from glass_tpu.models.recognizer import (
+        recognizer_layers_apply,
+        aster_decode_train,
+    )
+
+    torch.manual_seed(6)
+    ch, vocab, max_len = 16, 12, 6
+    head = TorchRecognizerHead(ch, vocab, max_len).eval()
+    randomize_bn_stats(head)
+    fused = rng.randn(4, ch, 8, 32).astype(np.float32)
+    targets = rng.randint(0, vocab, size=(4, max_len + 1)).astype(np.int32)
+    with torch.no_grad():
+        x = head.backbone(torch.from_numpy(fused))
+        enc = head.encoder(x)
+        expected = head.decoder.recognizer.forward_train(
+            enc, torch.from_numpy(targets), max_len + 1
+        ).numpy()
+
+    params = _convert(head, prefix="roi_heads.recognizer_head")
+    enc_j = recognizer_layers_apply(
+        Ctx(train=False), params, jnp.asarray(fused.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(enc_j), enc.numpy(), atol=2e-4)
+    got = np.asarray(
+        aster_decode_train(params["decoder"], enc_j, jnp.asarray(targets),
+                           max_len + 1)
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-3)
