@@ -399,10 +399,16 @@ def get_default_config() -> CN:
     _C.TEST.DONT_CARE_GT_LABELS = ["###", ""]
     # Eval-time overrides applied programmatically by the reference
     # (tools/eval_glass.py:82-114) — declared so they can live in YAML too.
-    _C.TEST.LEXICON = CN()
-    _C.TEST.LEXICON.ENABLED = False
-    _C.TEST.LEXICON.TYPE = "generic"
-    _C.TEST.LEXICON.WEIGHTED_EDIT_DISTANCE = False
+    # Benchmark lexicon protocol (reference tools/eval_glass.py:101-104,
+    # text_evaluator.py:43,76-81; path knobs replace lexicon_utils.py's
+    # hardcoded EFS paths): 0 none, 1 generic, 2 weak, 3 per-image strong.
+    _C.TEST.LEXICON_TYPE = 0
+    _C.TEST.LEXICON_WEIGHTED = False
+    _C.TEST.LEXICON_PATH = ""          # types 1/2: lexicon txt
+    _C.TEST.LEXICON_PAIRS_PATH = ""    # types 1/2: optional pairs txt
+    _C.TEST.STRONG_LEXICON_DIR = ""    # type 3: dir of new_voc_img_<i>.txt
+    _C.EDIT_DISTANCE_THR = 1.5
+    _C.IS_WORD_SPOTTING = False
 
     # -------------------------------------------------------- POST_PROCESSING
     _C.POST_PROCESSING = CN()

@@ -6,4 +6,10 @@ from .text_eval import (
     include_in_dictionary,
 )
 from .evaluator import TextEvaluator, instances_to_eval, load_gt_zip
-from .lexicon import Lexicon, weighted_edit_distance
+from .lexicon import (
+    Lexicon,
+    LexiconSet,
+    find_match_word,
+    match_transcript,
+    weighted_edit_distance,
+)

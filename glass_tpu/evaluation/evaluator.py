@@ -32,7 +32,7 @@ from ..postprocess.np_geometry import boxes_to_polygons_np
 from ..structures import Instances
 from ..text import TextCodec, decode_topk_probs
 from .text_eval import EvalInstance, evaluate_dataset
-from .lexicon import Lexicon
+from .lexicon import Lexicon, LexiconSet, match_transcript
 
 logger = logging.getLogger(__name__)
 
@@ -61,13 +61,15 @@ def instances_to_eval(
     codec: TextCodec,
     use_masks: bool = True,
     lexicon: Optional[Lexicon] = None,
+    lexicon_set: Optional[LexiconSet] = None,
+    image_id: Optional[str] = None,
+    word_spotting: bool = False,
 ) -> List[EvalInstance]:
     out: List[EvalInstance] = []
     if len(preds) == 0:
         return out
-    texts, scores, char_scores = decode_topk_probs(
-        np.asarray(preds.pred_text_prob), codec
-    )
+    prob_matrix = np.asarray(preds.pred_text_prob)
+    texts, scores, char_scores = decode_topk_probs(prob_matrix, codec)
     boxes = np.asarray(preds.pred_boxes)
     det_scores = np.asarray(preds.scores)
     has_masks = use_masks and preds.has("pred_masks")
@@ -82,8 +84,22 @@ def instances_to_eval(
         if poly is None:
             continue
         text = strip_special_chars(texts[i])
-        if lexicon is not None and text:
-            text = lexicon.correct(text, char_scores[i], codec)
+        if lexicon_set is not None:
+            # Full benchmark protocol (text_evaluator.py:183-201): replace
+            # within EDIT_DISTANCE_THR (always for the generic type), DROP
+            # otherwise.  Char probs skip the leading [GO] step so position
+            # j aligns with text[j] (decode starts emitting at step 0).
+            corrected = lexicon_set.correct(
+                text, image_id=image_id, char_probs=prob_matrix[i],
+                char_encode=codec.char_encode,
+            )
+            if corrected is None:
+                continue
+            text = corrected
+        elif lexicon is not None and text:
+            text = lexicon.correct(text, prob_matrix[i], codec)
+        if lexicon_set is not None or lexicon is not None or word_spotting:
+            text = match_transcript(text, word_spotting)
         out.append(
             EvalInstance(
                 points=poly, transcription=text, confidence=float(det_scores[i])
@@ -144,15 +160,23 @@ class TextEvaluator:
         cfg,
         output_dir: Optional[str] = None,
         gt_zip: Optional[str] = None,
-        word_spotting: bool = False,
+        word_spotting: Optional[bool] = None,
         lexicon: Optional[Lexicon] = None,
+        lexicon_set: Optional[LexiconSet] = None,
     ):
         self.dataset_name = dataset_name
         self.cfg = cfg
         self.codec = TextCodec.from_config(cfg)
         self.output_dir = output_dir
+        if word_spotting is None:
+            word_spotting = bool(getattr(cfg, "IS_WORD_SPOTTING", False))
         self.word_spotting = word_spotting
         self.lexicon = lexicon
+        # Config-driven protocol lexicons (TEST.LEXICON_TYPE) unless an
+        # explicit LexiconSet (or legacy single-file Lexicon) is given.
+        if lexicon_set is None and lexicon is None:
+            lexicon_set = LexiconSet.from_config(cfg)
+        self.lexicon_set = lexicon_set
         self.use_masks = cfg.MODEL.MASK_ON and cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE
         self._dets: Dict[str, List[EvalInstance]] = {}
         self._gts: Dict[str, List[EvalInstance]] = {}
@@ -164,7 +188,9 @@ class TextEvaluator:
 
     def process(self, image_key: str, preds: Instances, gt_record: Optional[dict] = None):
         self._dets[image_key] = instances_to_eval(
-            preds, self.codec, self.use_masks, self.lexicon
+            preds, self.codec, self.use_masks, self.lexicon,
+            lexicon_set=self.lexicon_set, image_id=image_key,
+            word_spotting=self.word_spotting,
         )
         if self._gt_from_zip is None and gt_record is not None:
             gts = []

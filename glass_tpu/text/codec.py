@@ -75,6 +75,14 @@ class TextCodec:
     def vocab_size(self) -> int:
         return len(self.character)
 
+    def char_encode(self, char: str) -> int:
+        """Single char -> class index (reference text_encoder.py:76-78);
+        unknown chars map to [UNK] when enabled, else to index 0."""
+        assert len(char) == 1
+        if char in self.dict:
+            return self.dict[char]
+        return self.dict[UNK_TOKEN] if self.unk_symbol else 0
+
     @property
     def encode_length(self) -> int:
         return self.max_word_length + (2 if self.mode == "attention" else 0)

@@ -84,5 +84,22 @@ def test_lexicon_correction():
     lex = Lexicon(["STREET", "AVENUE"])
     assert lex.correct("STREFT") == "STREET"
     assert lex.correct("zzzzzz") == "zzzzzz"  # too far -> unchanged
-    d = weighted_edit_distance("abc", "abd", [0.9, 0.9, 0.1])
-    assert d < 1.0  # cheap substitution of low-confidence char
+
+
+def test_weighted_edit_distance_mts_costs():
+    # Alphabet a,b,c,d -> 0..3; per-position class probs for the prediction.
+    alphabet = {c: i for i, c in enumerate("abcd")}
+    enc = lambda ch: alphabet[ch.lower()]
+    scores = np.array([
+        [0.9, 0.03, 0.03, 0.04],   # 'a' confident
+        [0.05, 0.9, 0.03, 0.02],   # 'b' confident
+        [0.02, 0.03, 0.10, 0.50],  # 'c' low-confidence, 'd' likely
+    ])
+    # Substituting the low-confidence 'c' by 'd' costs
+    # max(1 - p(d)/p(c)*5, 0) = max(1 - 0.5/0.1*5, 0) = 0.
+    d = weighted_edit_distance("abc", "ABD", scores, enc)
+    assert d == 0.0
+    # Identical words cost 0; a confident-char substitution costs ~1.
+    assert weighted_edit_distance("abc", "ABC", scores, enc) == 0.0
+    d2 = weighted_edit_distance("abc", "DBC", scores, enc)
+    assert 0.5 < d2 <= 1.0

@@ -31,8 +31,15 @@ def parse_args():
     p.add_argument("--output", default="./eval_output")
     p.add_argument("--gt-zip", default=None, help="RRC gt zip (else gt from dataset json)")
     p.add_argument("--word-spotting", action="store_true")
-    p.add_argument("--lexicon", default=None, help="lexicon txt file")
+    p.add_argument("--lexicon", default=None, help="ad-hoc lexicon txt file")
     p.add_argument("--weighted-ed", action="store_true")
+    # Benchmark lexicon protocol (reference cfg.TEST.LEXICON_TYPE):
+    p.add_argument("--lexicon-type", type=int, default=None,
+                   help="0 none / 1 generic / 2 weak / 3 per-image strong")
+    p.add_argument("--lexicon-path", default=None, help="types 1/2 lexicon txt")
+    p.add_argument("--lexicon-pairs", default=None, help="types 1/2 pairs txt")
+    p.add_argument("--strong-lexicon-dir", default=None,
+                   help="type 3: dir of new_voc_img_<i>.txt / pair_voc_img_<i>.txt")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 runs batched (vmapped) inference per bucket")
@@ -59,6 +66,19 @@ def setup(args):
     cfg.INPUT.MAX_SIZE_TEST = 1600
     cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE = True
     cfg.MODEL.ROI_ORIENTATION_HEAD.APPLY_TO_BOXES = False
+    # Lexicon protocol flags -> config keys (reference eval_glass.py:101-104).
+    if args.lexicon_type is not None:
+        cfg.TEST.LEXICON_TYPE = args.lexicon_type
+    if args.lexicon_path:
+        cfg.TEST.LEXICON_PATH = args.lexicon_path
+    if args.lexicon_pairs:
+        cfg.TEST.LEXICON_PAIRS_PATH = args.lexicon_pairs
+    if args.strong_lexicon_dir:
+        cfg.TEST.STRONG_LEXICON_DIR = args.strong_lexicon_dir
+    if args.weighted_ed:
+        cfg.TEST.LEXICON_WEIGHTED = True
+    if args.word_spotting:
+        cfg.IS_WORD_SPOTTING = True
     setup_logger(output=args.output)
     return cfg
 
@@ -94,7 +114,7 @@ def main():
             cfg,
             output_dir=args.output,
             gt_zip=gt_zip,
-            word_spotting=args.word_spotting,
+            word_spotting=True if args.word_spotting else None,
             lexicon=lexicon,
         )
         t0 = time.time()
