@@ -451,6 +451,9 @@ def get_default_config() -> CN:
         [960, 1600], [1600, 960], [1280, 1280],
         [1280, 1600], [1600, 1280], [1600, 1600],
     ]
+    # Fixed [H, W] train batch padding: static shape for every batch (no
+    # per-shape recompiles; required for multi-host). Empty = per-batch max.
+    _C.TPU.TRAIN_PAD_SIZE = []
     _C.TPU.MAX_DETECTIONS = 100       # capacity of the padded detection set
     _C.TPU.MAX_WORDS = 128            # recognizer batch capacity at inference
     _C.TPU.MAX_GT_INSTANCES = 256     # padded ground-truth capacity (train)

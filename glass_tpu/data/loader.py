@@ -50,11 +50,26 @@ class PaddedBatchBuilder:
         self.max_poly = 24
         self.pad_multiple = cfg.TPU.PAD_IMAGE_TO_MULTIPLE
         self.text_len = None  # inferred from first sample
+        # Fixed train padding (TPU.TRAIN_PAD_SIZE [H, W]): one static shape
+        # for every batch — no per-shape recompiles, and REQUIRED for
+        # multi-host training where every process must emit identical
+        # non-batch dims (jax.make_array_from_process_local_data).
+        pad = list(getattr(cfg.TPU, "TRAIN_PAD_SIZE", []) or [])
+        self.fixed_hw = tuple(pad) if pad else None
 
     def __call__(self, samples: List[dict]) -> dict:
         b = len(samples)
-        hmax = round_up(max(s["image"].shape[0] for s in samples), self.pad_multiple)
-        wmax = round_up(max(s["image"].shape[1] for s in samples), self.pad_multiple)
+        if self.fixed_hw:
+            hmax, wmax = self.fixed_hw
+            for s in samples:
+                if s["image"].shape[0] > hmax or s["image"].shape[1] > wmax:
+                    raise ValueError(
+                        f"sample {s['image'].shape[:2]} exceeds "
+                        f"TPU.TRAIN_PAD_SIZE {self.fixed_hw}"
+                    )
+        else:
+            hmax = round_up(max(s["image"].shape[0] for s in samples), self.pad_multiple)
+            wmax = round_up(max(s["image"].shape[1] for s in samples), self.pad_multiple)
         g = self.max_gt
         t = samples[0]["gt_text"].shape[1] if len(samples[0].get("gt_text", [])) else 27
         k = self.max_poly

@@ -30,10 +30,26 @@ def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch with its leading dim sharded over the data axis."""
+    """Place a host batch with its leading dim sharded over the data axis.
+
+    Single-process: a plain ``device_put`` scatter.  Multi-process (pod
+    slices): each process holds only its LOCAL slice of the global batch
+    (``global = local * process_count``, see ``Trainer.build_train_loader``),
+    assembled into one global array with
+    ``jax.make_array_from_process_local_data`` — a host-global
+    ``device_put`` would be wrong there (every process would try to
+    materialize the full batch).
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+        )
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
     )
 
 

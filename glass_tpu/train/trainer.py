@@ -78,14 +78,28 @@ class Trainer:
         for name in self.cfg.DATASETS.TRAIN:
             records.extend(DatasetManager.load(name))
         mapper = DatasetMapper(self.cfg, is_train=True)
+        # SOLVER.IMS_PER_BATCH is the GLOBAL batch (reference
+        # build.py:113-127 divides by world size); each process builds only
+        # its local shard, which shard_batch assembles into the global array.
+        global_batch = self.cfg.SOLVER.IMS_PER_BATCH
+        world = jax.process_count()
+        assert global_batch % world == 0, (
+            f"SOLVER.IMS_PER_BATCH={global_batch} must divide evenly over "
+            f"{world} processes"
+        )
+        if world > 1 and not self.cfg.TPU.TRAIN_PAD_SIZE:
+            raise ValueError(
+                "multi-host training requires a fixed TPU.TRAIN_PAD_SIZE "
+                "[H, W] so all processes emit identical batch shapes"
+            )
         return build_train_loader(
             self.cfg,
             records,
             mapper,
-            batch_size=self.cfg.SOLVER.IMS_PER_BATCH,
+            batch_size=global_batch // world,
             seed=max(self.cfg.SEED, 0),
             rank=jax.process_index(),
-            world=jax.process_count(),
+            world=world,
         )
 
     # -- checkpoint / resume ----------------------------------------------
