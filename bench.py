@@ -1,14 +1,27 @@
 """End-to-end spotting throughput benchmark (single chip).
 
-Runs the full jitted image -> words pipeline (ResNet50+FPN, rotated RPN,
-box+orientation head, rotated NMS, global/local fusion, recognizer decode)
-on the ICDAR15 eval configuration at 1280x736, and reports images/sec.
+Primary metric: the PRODUCT number — batched eval-path inference
+(``GlassRunner.eval_batch_call`` at B=4: shortest-edge resize, vmapped
+jitted model, detector_postprocess + academic post-processing on host),
+on the ICDAR15 eval configuration, with detection/text thresholds set to
+keep all 100 word slots occupied (worst-case full pipeline load; random
+weights would otherwise detect nothing and undercount host work).
 
-The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
-therefore reported as null until a reference-GPU measurement exists.
+Also reported in ``detail``: the jitted model-only single-image rate
+(round-1's metric, for trend continuity) and the B=1 e2e rate.
+
+vs_baseline: ratio against the recorded reference-architecture baseline
+(BASELINE.md "Measured reference baseline"): the full-scale torch mirror
+of the reference model (tests/torch_mirror.py — same backbone/heads/
+recognizer at eval shapes, 100 words) on torch-CPU. That machine baseline
+is 0.0434 img/s on this host's single CPU core (23.05 s/image,
+torch 2.13 CPU, 2026-08-16); pooling/NMS/post-processing are EXCLUDED
+from the baseline forward (detectron2 unavailable), making the ratio
+conservative in the baseline's favor. No reference-GPU number exists
+in-repo or in the paper (BASELINE.md).
 
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": ..., "detail": {...}}
 """
 
 import json
@@ -18,6 +31,9 @@ import time
 
 import numpy as np
 
+# torch-CPU same-arch mirror forward, this host, 1 thread (see BASELINE.md).
+TORCH_CPU_MIRROR_IPS = 0.0434
+
 
 def _run():
     import jax
@@ -26,6 +42,9 @@ def _run():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from glass_tpu.config import get_cfg
     from glass_tpu.models import GlassArch, glass_inference_single, init_glass_params
+    from glass_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = get_cfg(
         os.path.join(os.path.dirname(__file__), "configs", "glass_finetune_icdar15.yaml")
@@ -33,45 +52,77 @@ def _run():
     # Reference eval-time overrides (tools/eval_glass.py:83-98).
     cfg.INPUT.MIN_SIZE_TEST = 1000
     cfg.INPUT.MAX_SIZE_TEST = 1600
+    cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE = True
+    # Random weights produce arbitrary scores; zero thresholds keep every
+    # detection slot occupied so the recognizer/mask/post-process stages
+    # run at full load (conservative for throughput).
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    cfg.POST_PROCESSING.TEXT_THRESHOLD = 0.0
+    cfg.POST_PROCESSING.DETECT_THRESHOLD = 0.0
+    cfg.POST_PROCESSING.VALID_CONFIDENCE = 0.0
+
     arch = GlassArch.from_config(cfg)
     params = init_glass_params(jax.random.PRNGKey(0), arch)
 
-    h, w = 736, 1280  # ICDAR15 720x1280 frames, shortest edge padded to /32
     rng = np.random.RandomState(0)
-    image = jnp.asarray(rng.rand(h, w, 3).astype(np.float32) * 255)
-    content_hw = jnp.asarray([720, 1280], np.int32)
-
-    fn = jax.jit(lambda p, im, hw: glass_inference_single(arch, p, im, hw))
 
     def fetch(out):
         # block_until_ready does not reliably block on tunneled backends;
         # materializing an output is the only true barrier.
         return jax.tree_util.tree_map(np.asarray, out)
 
+    # ---- model-only single image (round-1 metric, pipelined dispatch) ----
+    h, w = 736, 1280
+    image = jnp.asarray(rng.rand(h, w, 3).astype(np.float32) * 255)
+    content_hw = jnp.asarray([720, 1280], np.int32)
+    fn = jax.jit(lambda p, im, hw: glass_inference_single(arch, p, im, hw))
     fetch(fn(params, image, content_hw))  # warmup / compile
-
-    # Steady-state throughput: dispatch the whole window asynchronously and
-    # materialize only the final output (same-stream ordering makes the last
-    # fetch a barrier for all prior steps).  Per-call host fetches would
-    # measure the tunnel (~30 ms/fetch), not the chip.
     n_iters = 20
     start = time.perf_counter()
     out = None
     for _ in range(n_iters):
         out = fn(params, image, content_hw)
     fetch(out)
-    elapsed = time.perf_counter() - start
-    return n_iters / elapsed
+    model_only_ips = n_iters / (time.perf_counter() - start)
+
+    # ---- e2e batched eval path (the product number) ----------------------
+    from glass_tpu.inference import GlassRunner
+
+    runner = GlassRunner(model_path=None, cfg=cfg, params=params)
+    images = [
+        (rng.rand(720, 1280, 3) * 255).astype(np.uint8) for _ in range(4)
+    ]
+
+    def e2e(batch_size: int, n_images: int) -> float:
+        pool = [images[i % len(images)] for i in range(n_images)]
+        runner.eval_batch_call(pool[:batch_size], batch_size=batch_size)  # compile
+        start = time.perf_counter()
+        results = runner.eval_batch_call(pool, batch_size=batch_size)
+        dt = time.perf_counter() - start
+        assert len(results) == n_images
+        return n_images / dt
+
+    e2e_b4_ips = e2e(4, 16)
+    e2e_b1_ips = e2e(1, 6)
+
+    return {
+        "model_only_single_ips": round(model_only_ips, 3),
+        "e2e_with_postprocess_b1_ips": round(e2e_b1_ips, 3),
+        "e2e_with_postprocess_b4_ips": round(e2e_b4_ips, 3),
+    }
 
 
 def main():
     try:
-        ips = _run()
+        detail = _run()
+        value = detail["e2e_with_postprocess_b4_ips"]
         result = {
             "metric": "e2e_spotting_images_per_sec_single_chip",
-            "value": round(ips, 3),
+            "value": value,
             "unit": "images/sec",
-            "vs_baseline": None,
+            "vs_baseline": round(value / TORCH_CPU_MIRROR_IPS, 1),
+            "baseline": "torch-CPU 1-thread same-arch mirror fwd (BASELINE.md)",
+            "detail": detail,
         }
     except Exception as e:  # never leave the driver without a record
         import traceback

@@ -414,6 +414,10 @@ def get_default_config() -> CN:
     _C.POST_PROCESSING = CN()
     _C.POST_PROCESSING.NAME = "PostProcessorAcademic"
     _C.POST_PROCESSING.SKIP_ALL = False
+    # Run the merge fixpoint on-device (device_merge.py) instead of the
+    # host numpy loop. Best on locally-attached chips; off by default for
+    # high-latency tunneled backends.
+    _C.POST_PROCESSING.ON_DEVICE = False
     _C.POST_PROCESSING.BOX_INFLATE_RATIO = 0.05
     _C.POST_PROCESSING.BOX_PX_PADDING = [0, 0, 0, 0]
     _C.POST_PROCESSING.MIN_BOX_DIMENSION = 2

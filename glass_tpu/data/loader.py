@@ -123,22 +123,56 @@ def build_train_loader(
     world: int = 1,
     prefetch: int = 2,
 ) -> Iterator[dict]:
-    """Infinite shuffled padded-batch iterator (background-threaded)."""
+    """Infinite shuffled padded-batch iterator.
+
+    DATALOADER.NUM_WORKERS > 0 maps samples on a thread pool (cv2 decode /
+    warp release the GIL, so threads scale on multi-core hosts — the
+    reference's worker *processes*, build.py:15-75, without the pickling);
+    sample order stays deterministic (futures are consumed in submission
+    order). A background thread assembles padded batches either way.
+    """
     builder = PaddedBatchBuilder(cfg)
     rng = np.random.RandomState(seed + rank)
+    num_workers = int(getattr(cfg.DATALOADER, "NUM_WORKERS", 0) or 0)
 
     if cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS:
         records = [r for r in records if r.get("annotations")]
     assert records, "no training records"
 
-    def sample_stream():
+    def index_stream():
         while True:
             order = rng.permutation(len(records))
             for idx in order[rank::world] if world > 1 else order:
-                try:
-                    yield mapper(records[idx])
-                except FileNotFoundError as e:
-                    logger.warning("skipping unreadable image: %s", e)
+                yield int(idx)
+
+    def _map(idx):
+        try:
+            return mapper(records[idx])
+        except FileNotFoundError as e:
+            logger.warning("skipping unreadable image: %s", e)
+            return None
+
+    def sample_stream():
+        idxs = index_stream()
+        if num_workers <= 0:
+            for idx in idxs:
+                s = _map(idx)
+                if s is not None:
+                    yield s
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+
+        pool = ThreadPoolExecutor(num_workers, thread_name_prefix="glass-mapper")
+        window = max(2 * num_workers, batch_size)
+        pending: deque = deque()
+        for _ in range(window):
+            pending.append(pool.submit(_map, next(idxs)))
+        while True:
+            s = pending.popleft().result()
+            pending.append(pool.submit(_map, next(idxs)))
+            if s is not None:
+                yield s
 
     def batch_stream():
         stream = sample_stream()

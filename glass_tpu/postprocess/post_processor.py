@@ -43,6 +43,11 @@ class PostProcessorRotatedBoxes:
         self.pairs_height_ratio_thresh = cfg.POST_PROCESSING.PAIRS_HEIGHT_RATIO_THRESH
         self.valid_score = cfg.POST_PROCESSING.VALID_CONFIDENCE
         self.max_angle_diff = cfg.POST_PROCESSING.MAX_ANGLE_DIFF
+        # On-device merge fixpoint (postprocess/device_merge.py): one jit
+        # call instead of the per-iteration host IoA/minAreaRect/NMS loop.
+        # Wins on locally-attached chips; on high-latency tunneled backends
+        # the extra host<->device round trip can dominate, so it is opt-in.
+        self.on_device = bool(getattr(cfg.POST_PROCESSING, "ON_DEVICE", False))
         assert self.valid_score <= self.detect_threshold
 
     def __call__(self, preds: Instances) -> Instances:
@@ -69,6 +74,10 @@ class PostProcessorRotatedBoxes:
     ) -> Instances:
         if len(preds) == 0:
             return preds
+        if self.on_device:
+            return self._merge_on_device(
+                preds, ioa_threshold, pairs_height_ratio_thresh
+            )
         while True:
             boxes = np.asarray(preds.pred_boxes, np.float32).copy()
             scores = np.asarray(preds.scores, np.float32)
@@ -109,6 +118,39 @@ class PostProcessorRotatedBoxes:
             keep = nms_rotated_np(boxes, scores, 0.99)
             preds = preds[keep]
         return preds
+
+    def _merge_on_device(
+        self, preds: Instances, ioa_threshold: float, pairs_height_ratio_thresh: float
+    ) -> Instances:
+        """POST_PROCESSING.ON_DEVICE path: the jitted fixpoint of
+        postprocess/device_merge.py on a padded capacity-128 set."""
+        import jax.numpy as jnp
+
+        from .device_merge import merge_intersecting_boxes_device
+
+        n = len(preds)
+        cap = max(8, int(2 ** np.ceil(np.log2(n))))  # few distinct jit shapes
+        boxes = np.zeros((cap, 5), np.float32)
+        boxes[:, 2:4] = 1.0
+        boxes[:n] = np.asarray(preds.pred_boxes, np.float32)
+        scores = np.zeros((cap,), np.float32)
+        scores[:n] = np.asarray(preds.scores, np.float32)
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+        out_boxes, out_valid = merge_intersecting_boxes_device(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            ioa_threshold=ioa_threshold,
+            height_ratio_thresh=pairs_height_ratio_thresh,
+            max_angle_diff=self.max_angle_diff,
+            valid_score=self.valid_score,
+        )
+        out_boxes = np.asarray(out_boxes)[:n]
+        keep = np.asarray(out_valid)[:n]
+        # Keep the host path's descending-score output ordering.
+        preds.pred_boxes = out_boxes
+        preds = preds[keep]
+        order = np.argsort(-np.asarray(preds.scores), kind="stable")
+        return preds[order]
 
     @classmethod
     def _merge_rotated_boxes(cls, boxes1, boxes2, scores1=None, scores2=None):

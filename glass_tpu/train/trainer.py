@@ -211,8 +211,11 @@ class Trainer:
         ckpt_period = self.cfg.SOLVER.CHECKPOINT_PERIOD
         eval_period = self.cfg.TEST.EVAL_PERIOD
         t0 = time.time()
+        data_wait = 0.0
         for it in range(self.start_iter, max_iter):
+            td = time.time()
             host_batch = next(loader)
+            data_wait += time.time() - td
             self._maybe_visualize(it, host_batch)
             batch = shard_batch(self.mesh, host_batch)
             key = jax.random.fold_in(self._rng, it)
@@ -226,14 +229,19 @@ class Trainer:
                     self.storage.put_scalar(k, v)
                 lr = float(self.schedule(it))
                 dt = time.time() - t0
+                # data_time: wall time blocked on the input pipeline — if
+                # this approaches dt, raise DATALOADER.NUM_WORKERS.
+                self.storage.put_scalar("data_time", data_wait)
                 logger.info(
-                    "iter %d  %s  lr %.5f  %.2f s/20it",
+                    "iter %d  %s  lr %.5f  %.2f s/20it (data wait %.2f s)",
                     it,
                     "  ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())),
                     lr,
                     dt,
+                    data_wait,
                 )
                 t0 = time.time()
+                data_wait = 0.0
             if ckpt_period and it > 0 and it % ckpt_period == 0:
                 self.save(it)
             if eval_period and it > 0 and it % eval_period == 0:

@@ -134,3 +134,37 @@ def test_mapper_and_batcher(tmp_path):
     assert batch["gt_valid"].sum() == 9
     assert batch["gt_polygons"].shape[-2:] == (24, 2)
     assert (batch["gt_poly_nv"][batch["gt_valid"]] == 4).all()
+
+
+def test_threaded_loader_matches_serial_order():
+    """DATALOADER.NUM_WORKERS thread pool preserves the serial sample order
+    (deterministic resume depends on it)."""
+    from glass_tpu.config import get_cfg
+    from glass_tpu.data.loader import build_train_loader
+
+    cfg = get_cfg()
+    cfg.TPU.MAX_GT_INSTANCES = 4
+    records = [{"annotations": [1], "rid": i} for i in range(10)]
+
+    def mapper(rec):
+        i = rec["rid"]
+        return {
+            "image": np.full((8, 8, 3), i, np.float32),
+            "gt_boxes": np.array([[4.0, 4.0, 2.0, 2.0, 0.0]]),
+            "gt_classes": np.zeros(1, np.int32),
+            "gt_orientation": np.zeros(1, np.int32),
+            "gt_text": np.zeros((1, 27), np.int32),
+            "gt_polygons": [np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)],
+        }
+
+    def first_ids(num_workers, n=3):
+        cfg2 = cfg.clone()
+        cfg2.DATALOADER.NUM_WORKERS = num_workers
+        loader = build_train_loader(cfg2, records, mapper, batch_size=4, seed=7)
+        out = []
+        for _ in range(n):
+            batch = next(loader)
+            out.append(batch["images"][:, 0, 0, 0].astype(int).tolist())
+        return out
+
+    assert first_ids(0) == first_ids(3)
