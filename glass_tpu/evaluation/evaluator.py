@@ -72,12 +72,15 @@ def instances_to_eval(
     texts, scores, char_scores = decode_topk_probs(prob_matrix, codec)
     boxes = np.asarray(preds.pred_boxes)
     det_scores = np.asarray(preds.scores)
+    has_mask_polys = use_masks and preds.has("pred_mask_polygons")
     has_masks = use_masks and preds.has("pred_masks")
     box_polys = boxes_to_polygons_np(boxes) if boxes.shape[-1] == 5 else None
 
     for i in range(len(preds)):
         poly = None
-        if has_masks:
+        if has_mask_polys:
+            poly = preds.pred_mask_polygons[i]
+        elif has_masks:
             poly = mask_to_polygon(np.asarray(preds.pred_masks[i]))
         if poly is None and box_polys is not None:
             poly = box_polys[i]

@@ -61,19 +61,86 @@ def _convex_quad_intersection_area(p: np.ndarray, q: np.ndarray) -> float:
     return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
 
 
+def _quad_intersection_areas_batch(P: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """Vectorized Sutherland–Hodgman over K polygon pairs.
+
+    P, Q: (K, 4, 2) convex quads (float64) -> (K,) intersection areas.
+    Same clipping rules (including the |denom| > 1e-12 guard) as the scalar
+    ``_convex_quad_intersection_area``; a convex quad clipped by 4
+    half-planes has at most 8 vertices, so a fixed capacity-8 buffer with a
+    per-pass compaction keeps everything dense numpy.
+    """
+    k = len(P)
+    if k == 0:
+        return np.zeros((0,), np.float64)
+    cap = 8
+    verts = np.zeros((k, cap, 2), np.float64)
+    verts[:, :4] = P
+    nv = np.full(k, 4, np.int64)
+    slots = np.arange(cap)
+
+    for i in range(4):
+        a = Q[:, i]                      # (K, 2)
+        ba = Q[:, (i + 1) % 4] - a
+        valid = slots[None, :] < nv[:, None]
+        s = (
+            ba[:, :1] * (verts[..., 1] - a[:, 1:2])
+            - ba[:, 1:2] * (verts[..., 0] - a[:, :1])
+        )                                # (K, cap)
+        prev_idx = (slots[None, :] - 1) % np.maximum(nv[:, None], 1)
+        prev = np.take_along_axis(verts, prev_idx[..., None], axis=1)
+        s_prev = np.take_along_axis(s, prev_idx, axis=1)
+        inside = s >= 0
+        crossing = (inside != (s_prev >= 0)) & valid
+        denom = s_prev - s
+        t = np.where(np.abs(denom) > 1e-12, s_prev / np.where(denom == 0, 1.0, denom), 0.0)
+        ipt = prev + t[..., None] * (verts - prev)
+
+        # Scalar ordering: [intersection-before-cur, cur] for each cur slot.
+        out = np.zeros((k, 2 * cap, 2), np.float64)
+        keep = np.zeros((k, 2 * cap), bool)
+        out[:, 0::2] = ipt
+        keep[:, 0::2] = crossing
+        out[:, 1::2] = verts
+        keep[:, 1::2] = inside & valid
+        order = np.argsort(~keep, axis=1, kind="stable")
+        verts = np.take_along_axis(out, order[..., None], axis=1)[:, :cap]
+        nv = keep.sum(axis=1)
+
+    valid = slots[None, :] < nv[:, None]
+    v = np.where(valid[..., None], verts, 0.0)
+    nxt_idx = (slots[None, :] + 1) % np.maximum(nv[:, None], 1)
+    nxt = np.take_along_axis(v, nxt_idx[..., None], axis=1)
+    cross = v[..., 0] * nxt[..., 1] - nxt[..., 0] * v[..., 1]
+    area = 0.5 * np.abs(np.where(valid, cross, 0.0).sum(axis=1))
+    return np.where(nv >= 3, area, 0.0)
+
+
 def pairwise_iou_rotated_np(boxes1: np.ndarray, boxes2: np.ndarray) -> np.ndarray:
     p1 = boxes_to_polygons_np(np.asarray(boxes1, np.float64))
     p2 = boxes_to_polygons_np(np.asarray(boxes2, np.float64))
-    a1 = boxes1[:, 2] * boxes1[:, 3]
-    a2 = boxes2[:, 2] * boxes2[:, 3]
-    out = np.zeros((len(boxes1), len(boxes2)), np.float32)
-    for i in range(len(boxes1)):
-        for j in range(len(boxes2)):
-            if a1[i] <= 1e-14 or a2[j] <= 1e-14:
-                continue
-            inter = _convex_quad_intersection_area(p1[i], p2[j])
-            union = a1[i] + a2[j] - inter
-            out[i, j] = inter / union if union > 1e-12 else 0.0
+    a1 = np.asarray(boxes1[:, 2] * boxes1[:, 3], np.float64)
+    a2 = np.asarray(boxes2[:, 2] * boxes2[:, 3], np.float64)
+    n, m = len(boxes1), len(boxes2)
+    out = np.zeros((n, m), np.float32)
+    if n == 0 or m == 0:
+        return out
+
+    # AABB prefilter: trivially-disjoint pairs never enter the clipper.
+    lo1, hi1 = p1.min(axis=1), p1.max(axis=1)
+    lo2, hi2 = p2.min(axis=1), p2.max(axis=1)
+    overlap = (
+        (lo1[:, None, 0] <= hi2[None, :, 0]) & (lo2[None, :, 0] <= hi1[:, None, 0])
+        & (lo1[:, None, 1] <= hi2[None, :, 1]) & (lo2[None, :, 1] <= hi1[:, None, 1])
+        & (a1[:, None] > 1e-14) & (a2[None, :] > 1e-14)
+    )
+    ii, jj = np.nonzero(overlap)
+    if len(ii) == 0:
+        return out
+    inter = _quad_intersection_areas_batch(p1[ii], p2[jj])
+    union = a1[ii] + a2[jj] - inter
+    vals = np.where(union > 1e-12, inter / np.where(union == 0, 1.0, union), 0.0)
+    out[ii, jj] = vals.astype(np.float32)
     return out
 
 

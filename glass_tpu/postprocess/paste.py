@@ -59,3 +59,65 @@ def paste_masks_rotated(
             pasted[iy0:iy1, ix0:ix1] = resized[: iy1 - iy0, : ix1 - ix0]
         out[i] = pasted >= threshold
     return out
+
+
+def rotated_masks_to_polygons(
+    masks: np.ndarray,
+    boxes: np.ndarray,
+    image_shape,
+    threshold: float = 0.5,
+):
+    """masks (N, M, M) probs + boxes (N, 5) -> list of (K, 2) float64
+    polygons in image coords (largest contour; None where empty).
+
+    Numerically identical to pasting each mask to full resolution and
+    taking the largest contour (reference text_evaluator.masks_to_polygons
+    over academic ``paste_masks_in_image``): a mask is exactly zero outside
+    its rotated box, so the warp + contour runs only inside the box's AABB
+    window (+2 px of bilinear support), ~100x less host work per image
+    than the full-resolution paste on large frames.
+    """
+    img_h, img_w = image_shape
+    polys = []
+    for i in range(len(masks)):
+        cx, cy, w, h, a = boxes[i]
+        m = masks[i].astype(np.float32)
+        mh, mw = m.shape
+        t = np.deg2rad(a)
+        cos_t, sin_t = np.cos(t), np.sin(t)
+
+        def corner(dx, dy):
+            return [cx + dx * cos_t + dy * sin_t, cy - dx * sin_t + dy * cos_t]
+
+        corners = np.array(
+            [corner(-w / 2, -h / 2), corner(w / 2, -h / 2),
+             corner(-w / 2, h / 2), corner(w / 2, h / 2)], np.float32
+        )
+        x0 = max(int(np.floor(corners[:, 0].min())) - 2, 0)
+        y0 = max(int(np.floor(corners[:, 1].min())) - 2, 0)
+        x1 = min(int(np.ceil(corners[:, 0].max())) + 2, img_w)
+        y1 = min(int(np.ceil(corners[:, 1].max())) + 2, img_h)
+        if x1 <= x0 or y1 <= y0:
+            polys.append(None)
+            continue
+        src_tri = np.float32([[0, 0], [mw, 0], [0, mh]])
+        dst_tri = np.float32(
+            [corner(-w / 2, -h / 2), corner(w / 2, -h / 2), corner(-w / 2, h / 2)]
+        ) - np.float32([[x0, y0]])
+        mat = cv2.getAffineTransform(src_tri, dst_tri)
+        window = cv2.warpAffine(m, mat, (x1 - x0, y1 - y0), flags=cv2.INTER_LINEAR)
+        binary = (window >= threshold).astype(np.uint8)
+        contours, _ = cv2.findContours(
+            binary, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        if not contours:
+            polys.append(None)
+            continue
+        largest = max(contours, key=cv2.contourArea)
+        poly = largest.reshape(-1, 2).astype(np.float64)
+        if len(poly) < 3:
+            polys.append(None)
+            continue
+        poly += np.array([x0, y0], np.float64)
+        polys.append(poly)
+    return polys

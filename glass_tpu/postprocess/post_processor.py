@@ -269,7 +269,8 @@ def scale_rotated_np(boxes: np.ndarray, sx: float, sy: float) -> np.ndarray:
 
 
 def detector_postprocess(
-    results: Instances, output_height: int, output_width: int, mask_threshold: float = 0.5
+    results: Instances, output_height: int, output_width: int,
+    mask_threshold: float = 0.5, full_masks: bool = False,
 ) -> Instances:
     """Rescale predictions to the original image resolution.
 
@@ -300,14 +301,27 @@ def detector_postprocess(
     out = out[nonempty]
 
     if out.has("pred_masks") and len(out):
-        from .paste import paste_masks_rotated
-
-        out.pred_masks = paste_masks_rotated(
-            np.asarray(out.pred_masks),
-            np.asarray(out.pred_rboxes if out.has("pred_rboxes") else out.pred_boxes),
-            (output_height, output_width),
-            threshold=mask_threshold,
+        mask_boxes = np.asarray(
+            out.pred_rboxes if out.has("pred_rboxes") else out.pred_boxes
         )
+        if full_masks:
+            from .paste import paste_masks_rotated
+
+            out.pred_masks = paste_masks_rotated(
+                np.asarray(out.pred_masks), mask_boxes,
+                (output_height, output_width), threshold=mask_threshold,
+            )
+        else:
+            # Polygon extraction without the full-resolution paste (the only
+            # downstream consumer of pasted masks) — identical contours,
+            # computed inside each box's AABB window (paste.py).
+            from .paste import rotated_masks_to_polygons
+
+            out.pred_mask_polygons = rotated_masks_to_polygons(
+                np.asarray(out.pred_masks), mask_boxes,
+                (output_height, output_width), threshold=mask_threshold,
+            )
+            out.remove("pred_masks")
     return out
 
 

@@ -72,3 +72,36 @@ def test_scale_rotated_isotropic():
     boxes = jnp.array([[10.0, 20.0, 8.0, 4.0, 30.0]])
     out = np.asarray(B.scale_rotated_boxes(boxes, 2.0, 2.0))
     np.testing.assert_allclose(out[0], [20, 40, 16, 8, 30], atol=1e-4)
+
+
+def test_vectorized_quad_intersection_matches_scalar(rng):
+    """np_geometry._quad_intersection_areas_batch == the scalar
+    Sutherland-Hodgman on random rotated-box pairs."""
+    from glass_tpu.postprocess.np_geometry import (
+        _convex_quad_intersection_area,
+        _quad_intersection_areas_batch,
+        boxes_to_polygons_np,
+        pairwise_iou_rotated_np,
+    )
+
+    n = 40
+    boxes = np.zeros((n, 5), np.float32)
+    boxes[:, 0] = rng.uniform(0, 100, n)
+    boxes[:, 1] = rng.uniform(0, 100, n)
+    boxes[:, 2] = rng.uniform(5, 60, n)
+    boxes[:, 3] = rng.uniform(5, 30, n)
+    boxes[:, 4] = rng.uniform(-180, 180, n)
+    polys = boxes_to_polygons_np(boxes.astype(np.float64))
+
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    batch = _quad_intersection_areas_batch(polys[ii.ravel()], polys[jj.ravel()])
+    scalar = np.array([
+        _convex_quad_intersection_area(polys[i], polys[j])
+        for i, j in zip(ii.ravel(), jj.ravel())
+    ])
+    np.testing.assert_allclose(batch, scalar, atol=1e-9)
+
+    # and the full IoU matrix (with the AABB prefilter) is self-consistent
+    iou = pairwise_iou_rotated_np(boxes, boxes)
+    np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-6)
+    assert (iou >= 0).all() and (iou <= 1.0 + 1e-6).all()

@@ -28,3 +28,44 @@ def test_paste_rotated_90_box():
     assert 15 < ys.max() - ys.min() < 25
     assert np.mean(ys) > 55
     assert abs(np.mean(xs) - 50) < 3
+
+
+def test_windowed_polygons_match_full_paste():
+    """rotated_masks_to_polygons == contour(paste_masks_rotated) for every
+    box (windowing is exact: masks are zero outside the box AABB)."""
+    import cv2
+
+    from glass_tpu.postprocess.paste import rotated_masks_to_polygons
+
+    rng = np.random.RandomState(0)
+    n = 12
+    masks = rng.rand(n, 28, 28).astype(np.float32)
+    # smooth them a bit so contours are non-degenerate
+    for i in range(n):
+        masks[i] = cv2.GaussianBlur(masks[i], (5, 5), 2)
+    boxes = np.zeros((n, 5), np.float32)
+    boxes[:, 0] = rng.uniform(60, 580, n)
+    boxes[:, 1] = rng.uniform(60, 420, n)
+    boxes[:, 2] = rng.uniform(30, 120, n)
+    boxes[:, 3] = rng.uniform(12, 40, n)
+    boxes[:, 4] = rng.uniform(-90, 90, n)
+
+    shape = (480, 640)
+    full = paste_masks_rotated(masks, boxes, shape)
+    windowed = rotated_masks_to_polygons(masks, boxes, shape)
+
+    for i in range(n):
+        contours, _ = cv2.findContours(
+            full[i].astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        if not contours:
+            assert windowed[i] is None
+            continue
+        largest = max(contours, key=cv2.contourArea).reshape(-1, 2).astype(np.float64)
+        assert windowed[i] is not None
+        # identical contours (same pixels -> same polygon up to start point)
+        assert len(windowed[i]) == len(largest), i
+        # compare as sets of vertices
+        a = {tuple(p) for p in windowed[i]}
+        b = {tuple(p) for p in largest}
+        assert a == b, i

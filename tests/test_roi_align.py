@@ -103,3 +103,44 @@ def test_roi_align_grad_flows(rng):
     g = jax.grad(loss)(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_packed_pyramid_matches_per_level_pooler(rng):
+    """multilevel_roi_align_rotated_packed vs the pool-all-levels reference
+    across levels, angles, sampling ratios, and boundary rois (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from glass_tpu.ops.roi_align_rotated import (
+        multilevel_roi_align_rotated,
+        multilevel_roi_align_rotated_packed,
+    )
+
+    strides = [4, 8, 16, 32]
+    feats = [
+        jnp.asarray(rng.randn(64 // (s // 4), 96 // (s // 4), 8).astype(np.float32))
+        for s in strides
+    ]
+    boxes = np.array(
+        [
+            [60.0, 40.0, 30.0, 12.0, 0.0],      # small -> level 0
+            [120.0, 80.0, 180.0, 60.0, 25.0],   # medium -> mid level
+            [190.0, 120.0, 700.0, 300.0, -40.0],  # large -> top level
+            # Boundary roi. Note cx=2.1 not 2.0: at exactly 2.0 a sample
+            # lands on y == -1.0, where d2's `outside` test flips on the
+            # 1-ulp FMA rounding difference between the two compiled
+            # programs (both match the scalar reference within 1 ulp).
+            [2.1, 2.1, 16.0, 8.0, 90.0],
+            [370.0, 250.0, 40.0, 16.0, -90.0],  # near bottom-right edge
+        ],
+        np.float32,
+    )
+    for sr in (0, 2):
+        ref = multilevel_roi_align_rotated(
+            feats, jnp.asarray(boxes), (7, 7), strides, sampling_ratio=sr
+        )
+        packed = multilevel_roi_align_rotated_packed(
+            feats, jnp.asarray(boxes), (7, 7), strides, sampling_ratio=sr
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(ref), atol=2e-5, err_msg=f"sr={sr}"
+        )
