@@ -470,6 +470,15 @@ def get_default_config() -> CN:
     # masking (same cost as CROP_MAX_SAMPLING_RATIO).
     _C.TPU.CROP_SAMPLING_RATIO = 1
     _C.TPU.CROP_MAX_SAMPLING_RATIO = 2
+    # Split-capacity realisation of d2's adaptive (sampling_ratio=0) pooling
+    # grids: bulk static grid POOL_BULK_SAMPLING_RATIO for every roi plus a
+    # full POOL_MAX_SAMPLING_RATIO grid for up to POOL_LARGE_ROI_BUDGET rois
+    # that need it (bit-exact vs a monolithic max-grid pass unless more rois
+    # than the budget exceed the bulk grid; overflow rois get the bulk grid).
+    # BULK=0 disables the split (single max-grid pass).
+    _C.TPU.POOL_MAX_SAMPLING_RATIO = 4
+    _C.TPU.POOL_BULK_SAMPLING_RATIO = 2
+    _C.TPU.POOL_LARGE_ROI_BUDGET = 16
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.MESH_AXES = ["data"]
     _C.TPU.SYNC_BN = True             # psum batch stats across the data axis

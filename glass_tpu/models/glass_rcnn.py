@@ -40,7 +40,7 @@ from .fusion import (
     init_p2p3_fusion,
     init_fusion,
 )
-from .local_extractor import local_extractor_apply, init_local_extractor
+from .local_extractor import local_extractor_forward, init_local_extractor_by_name
 from .mask_head import mask_head_apply, mask_inference_probs, init_mask_head
 from .recognizer import (
     recognizer_layers_apply,
@@ -48,7 +48,11 @@ from .recognizer import (
     init_recognizer,
 )
 from ..ops.boxes import apply_deltas
-from ..ops.roi_align_rotated import roi_align_rotated, assign_boxes_to_levels
+from ..ops.roi_align_rotated import (
+    roi_align_rotated,
+    roi_align_rotated_adaptive,
+    assign_boxes_to_levels,
+)
 
 
 @dataclass(frozen=True)
@@ -91,11 +95,17 @@ class GlassArch:
     # identical to the fixed grid for boxes > 256 px and ~4x cheaper below.
     img_crop_sampling_ratio: int = 0
     crop_max_sampling_ratio: int = 2
+    # adaptive-grid (sampling_ratio=0) pooler realisation — see
+    # ops.roi_align_rotated_adaptive
+    pool_max_sampling_ratio: int = 4
+    pool_bulk_sampling_ratio: int = 2
+    pool_large_roi_budget: int = 16
     max_word_len: int = 25
     vocab_size: int = 97
     gc_headers: int = 8
     pooler_pad: str = ""  # "" | "FeatPadV2"
     recognizer_backbone: str = "CNN_V1_1"
+    local_extractor_name: str = "ResNetFeatureExtractor"
     fusion_name: str = "MultiAspectGCAttention"
     fusion_type: str = "channel_add"
     # Mask
@@ -156,11 +166,15 @@ class GlassArch:
             img_crop_hw=(rec.POOLER_RESOLUTION_HEIGHT * 16, rec.POOLER_RESOLUTION_WIDTH * 4),
             img_crop_sampling_ratio=cfg.TPU.CROP_SAMPLING_RATIO,
             crop_max_sampling_ratio=cfg.TPU.CROP_MAX_SAMPLING_RATIO,
+            pool_max_sampling_ratio=cfg.TPU.POOL_MAX_SAMPLING_RATIO,
+            pool_bulk_sampling_ratio=cfg.TPU.POOL_BULK_SAMPLING_RATIO,
+            pool_large_roi_budget=cfg.TPU.POOL_LARGE_ROI_BUDGET,
             max_word_len=rec.MAX_WORD_LENGTH,
             vocab_size=len(rec.CHARACTER_SET) + 2,
             gc_headers=cfg.MODEL.HYBRID_FUSION.HEADERS,
             pooler_pad=rec.RECOGNIZER_HEAD.POOLER_PAD.NAME,
             recognizer_backbone=rec.RECOGNIZER_HEAD.BACKBONE.NAME,
+            local_extractor_name=cfg.MODEL.LOCAL_FEATURE_EXTRACTOR.NAME,
             fusion_name=cfg.MODEL.HYBRID_FUSION.NAME,
             fusion_type=cfg.MODEL.HYBRID_FUSION.FUSION_TYPE,
             mask_on=cfg.MODEL.MASK_ON,
@@ -194,7 +208,9 @@ def init_glass_params(key, arch: GlassArch) -> dict:
     }
     if arch.recognizer_on:
         params["roi_heads"]["recognizer_feature_fusion"] = init_p2p3_fusion(ks[5])
-        params["roi_heads"]["hybrid_net"] = {"ConvNet": init_local_extractor(ks[6])}
+        params["roi_heads"]["hybrid_net"] = {
+            "ConvNet": init_local_extractor_by_name(ks[6], arch.local_extractor_name)
+        }
         params["roi_heads"]["fusion_net"] = init_fusion(
             ks[7], name=arch.fusion_name, fusion_type=arch.fusion_type,
             inplanes=512, headers=arch.gc_headers,
@@ -305,6 +321,9 @@ def _multilevel_pool(
         out_hw,
         strides,
         sampling_ratio=sampling_ratio,
+        max_sampling_ratio=arch.pool_max_sampling_ratio,
+        bulk_sampling_ratio=arch.pool_bulk_sampling_ratio,
+        large_roi_budget=arch.pool_large_roi_budget,
     )
 
 
@@ -382,9 +401,11 @@ def recognize_single_image(
         pool_boxes, pad_ratio = boxes, None
     # packed_taps measured slower here (256-ch rows are bandwidth-bound:
     # 4x bytes/row outweighs 4x fewer rows) — default row gathers win.
-    global_feats = roi_align_rotated(
+    global_feats = roi_align_rotated_adaptive(
         fused, pool_boxes, pool_hw, spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
-        sampling_ratio=0,
+        max_sampling_ratio=arch.pool_max_sampling_ratio,
+        bulk_sampling_ratio=arch.pool_bulk_sampling_ratio,
+        large_roi_budget=arch.pool_large_roi_budget,
     )
     if pad_ratio is not None:
         from .pooler_pad import feat_pad_v2_mask
@@ -395,7 +416,9 @@ def recognize_single_image(
         sampling_ratio=arch.img_crop_sampling_ratio,
         max_sampling_ratio=arch.crop_max_sampling_ratio,
     )
-    local_feats = local_extractor_apply(ctx, rh["hybrid_net"]["ConvNet"], crops)
+    local_feats = local_extractor_forward(
+        ctx, rh["hybrid_net"]["ConvNet"], crops, arch.local_extractor_name
+    )
     x = jnp.concatenate([local_feats, global_feats], axis=-1)
     x = apply_fusion(
         ctx, rh["fusion_net"], x, arch.fusion_name, arch.fusion_type, arch.gc_headers
@@ -416,6 +439,13 @@ def mask_single_image(
     boxes: jnp.ndarray,
     classes: jnp.ndarray,
 ) -> jnp.ndarray:
+    # sampling_ratio=0 is adaptive ceil(roi_extent/14) CAPPED at 4 samples/bin
+    # (ops/roi_align_rotated.py max_sampling_ratio), where detectron2's
+    # adaptive grid is unbounded: rois much larger than their level's
+    # canonical size (only possible at the clamped top level, P5) are sampled
+    # on a coarser grid than the reference.  At 14x14 output the cap binds
+    # for rois > 4x canonical (>2048 px on P5); mask AP impact is nil in
+    # practice, and the cap is what keeps the gather shape static.
     pooled = _multilevel_pool(
         arch,
         feats,

@@ -74,6 +74,76 @@ def local_extractor_apply(ctx: Ctx, params: dict, crops: jnp.ndarray,
     return x
 
 
+def local_extractor_v2_apply(ctx: Ctx, params: dict, crops: jnp.ndarray,
+                             path: str = "roi_heads.hybrid_net.ConvNet") -> jnp.ndarray:
+    """``ResNetFeatureExtractorV2`` (reference ``local_feature_extraction.py:191-288``):
+    same block stack but only the first two 2x2 maxpools and no final
+    stride, so a (N, 128, 128, 3) crop maps to (N, 32, 32, 256)."""
+    p = params
+    x = L.conv2d(crops, p["conv0_1"]["weight"], padding=1)
+    x = jnp.maximum(apply_bn(ctx, x, p["bn0_1"], f"{path}.bn0_1"), 0)
+    x = L.conv2d(x, p["conv0_2"]["weight"], padding=1)
+    x = jnp.maximum(apply_bn(ctx, x, p["bn0_2"], f"{path}.bn0_2"), 0)
+
+    x = L.max_pool2d(x, 2, 2, 0)
+    x = _stage(ctx, x, p["layer1"], f"{path}.layer1", LAYERS[0])
+    x = L.conv2d(x, p["conv1"]["weight"], padding=1)
+    x = jnp.maximum(apply_bn(ctx, x, p["bn1"], f"{path}.bn1"), 0)
+
+    x = L.max_pool2d(x, 2, 2, 0)
+    x = _stage(ctx, x, p["layer2"], f"{path}.layer2", LAYERS[1])
+    x = L.conv2d(x, p["conv2"]["weight"], padding=1)
+    x = jnp.maximum(apply_bn(ctx, x, p["bn2"], f"{path}.bn2"), 0)
+
+    x = _stage(ctx, x, p["layer3"], f"{path}.layer3", LAYERS[2])
+    x = L.conv2d(x, p["conv3"]["weight"], padding=1)
+    x = jnp.maximum(apply_bn(ctx, x, p["bn3"], f"{path}.bn3"), 0)
+
+    x = _stage(ctx, x, p["layer4"], f"{path}.layer4", LAYERS[3])
+    x = L.conv2d(x, p["conv4_1"]["weight"], padding=1)
+    x = jnp.maximum(apply_bn(ctx, x, p["bn4_1"], f"{path}.bn4_1"), 0)
+    return x
+
+
+# Registry keyed on MODEL.LOCAL_FEATURE_EXTRACTOR.NAME (the reference's
+# LOCAL_FEATURE_EXTRACTOR_REGISTRY, local_feature_extraction.py:9-19).  The
+# reference's own config default "ResNet_FeatureExtractor" is an unregistered
+# name there (would KeyError); released configs all say ResNetFeatureExtractor.
+# GRCL / ResNet_ASTER / FeatureAttention (local_extractor_variants.py) are
+# unregistered internals in the reference too — library-only, not selectable.
+LOCAL_EXTRACTOR_REGISTRY = {
+    "ResNetFeatureExtractor": None,  # filled in below (functions defined above)
+    "ResNetFeatureExtractorV2": None,
+}
+
+
+def local_extractor_forward(ctx: Ctx, params: dict, crops: jnp.ndarray,
+                            name: str = "ResNetFeatureExtractor",
+                            path: str = "roi_heads.hybrid_net.ConvNet") -> jnp.ndarray:
+    """Dispatch on the configured extractor name."""
+    try:
+        apply_fn, _ = LOCAL_EXTRACTOR_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown MODEL.LOCAL_FEATURE_EXTRACTOR.NAME {name!r}; supported: "
+            f"{sorted(LOCAL_EXTRACTOR_REGISTRY)} (GRCL/ResNet_ASTER/"
+            "FeatureAttention are library-only building blocks, unregistered "
+            "in the reference as well)"
+        ) from None
+    return apply_fn(ctx, params, crops, path=path)
+
+
+def init_local_extractor_by_name(key, name: str = "ResNetFeatureExtractor") -> dict:
+    try:
+        _, init_fn = LOCAL_EXTRACTOR_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown MODEL.LOCAL_FEATURE_EXTRACTOR.NAME {name!r}; supported: "
+            f"{sorted(LOCAL_EXTRACTOR_REGISTRY)}"
+        ) from None
+    return init_fn(key)
+
+
 def init_local_extractor(key) -> dict:
     keys = iter(jax.random.split(key, 80))
 
@@ -117,3 +187,23 @@ def init_local_extractor(key) -> dict:
         "bn4_1": L.init_bn(BLOCK_CH[3]),
     }
     return params
+
+
+def init_local_extractor_v2(key) -> dict:
+    """Same tree as V1 except conv4_1 is 3x3 (reference :227-228)."""
+    params = init_local_extractor(key)
+    w = params["conv4_1"]["weight"]
+    params["conv4_1"] = {
+        "weight": L.c2_msra_fill(
+            jax.random.fold_in(key, 41), (3, 3, w.shape[2], w.shape[3])
+        )
+    }
+    return params
+
+
+LOCAL_EXTRACTOR_REGISTRY["ResNetFeatureExtractor"] = (
+    local_extractor_apply, init_local_extractor,
+)
+LOCAL_EXTRACTOR_REGISTRY["ResNetFeatureExtractorV2"] = (
+    local_extractor_v2_apply, init_local_extractor_v2,
+)

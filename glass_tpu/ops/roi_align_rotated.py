@@ -199,6 +199,78 @@ def roi_align_rotated(
     return acc.reshape(r, pooled_h, pooled_w, channels)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "output_size",
+        "spatial_scale",
+        "max_sampling_ratio",
+        "bulk_sampling_ratio",
+        "large_roi_budget",
+        "aligned",
+    ),
+)
+def roi_align_rotated_adaptive(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_size: tuple,
+    spatial_scale: float = 1.0,
+    max_sampling_ratio: int = 4,
+    bulk_sampling_ratio: int = 2,
+    large_roi_budget: int = 16,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """Adaptive-grid (``sampling_ratio=0``) pooling, split by grid need.
+
+    The static-shape realisation of d2's adaptive grid gathers the FULL
+    ``max_sampling_ratio``² grid for every roi and masks unused samples —
+    but word-box statistics put >90% of rois at grid 1-2, so most of the
+    gather traffic is masked-out waste.  This variant runs a bulk pass whose
+    static grid is ``bulk_sampling_ratio`` (exact for every roi whose d2
+    grid fits) plus a full-cap pass on (up to ``large_roi_budget``) rois
+    that need a finer grid, scattered back over the bulk result.
+
+    Bit-exact vs the monolithic cap pass whenever at most
+    ``large_roi_budget`` rois exceed the bulk grid (masked samples
+    contribute exact zeros, so buffer capacity does not change the sums);
+    overflow rois beyond the budget fall back to the bulk grid.
+    Measured 7.5 -> ~4 ms for the 100-word 8x32 recognizer pool on v5e.
+    """
+    pooled_h, pooled_w = output_size
+    if bulk_sampling_ratio >= max_sampling_ratio:
+        return roi_align_rotated(
+            features, rois, output_size, spatial_scale=spatial_scale,
+            sampling_ratio=0, max_sampling_ratio=max_sampling_ratio,
+            aligned=aligned,
+        )
+    rois = rois.astype(jnp.float32)
+    rh = rois[:, 3] * spatial_scale
+    rw = rois[:, 2] * spatial_scale
+    g_h = jnp.ceil(rh / pooled_h)
+    g_w = jnp.ceil(rw / pooled_w)
+    is_large = (g_h > bulk_sampling_ratio) | (g_w > bulk_sampling_ratio)
+
+    bulk = roi_align_rotated(
+        features, rois, output_size, spatial_scale=spatial_scale,
+        sampling_ratio=0, max_sampling_ratio=bulk_sampling_ratio,
+        aligned=aligned,
+    )
+
+    budget = min(large_roi_budget, rois.shape[0])
+    # top_k on the 0/1 mask returns the first `budget` large rois (ties keep
+    # index order), padding with non-large indices when there are fewer.
+    sel_flag, sel_idx = jax.lax.top_k(is_large.astype(jnp.int32), budget)
+    fine = roi_align_rotated(
+        features, rois[sel_idx], output_size, spatial_scale=spatial_scale,
+        sampling_ratio=0, max_sampling_ratio=max_sampling_ratio,
+        aligned=aligned,
+    )
+    keep = (sel_flag > 0)[:, None, None, None]
+    return bulk.at[sel_idx].set(
+        jnp.where(keep, fine, bulk[sel_idx]), mode="drop"
+    )
+
+
 def roi_align_rotated_batched(
     features: jnp.ndarray,
     rois: jnp.ndarray,
@@ -333,6 +405,8 @@ def multilevel_roi_align_rotated_packed(
     strides: list,
     sampling_ratio: int = 0,
     max_sampling_ratio: int = 4,
+    bulk_sampling_ratio: int = 0,
+    large_roi_budget: int = 16,
 ) -> jnp.ndarray:
     """detectron2 multi-level ``ROIPooler``, single-gather formulation.
 
@@ -341,6 +415,11 @@ def multilevel_roi_align_rotated_packed(
     one flat (sum HW, C) buffer and each roi's samples index its assigned
     level through a per-roi (stride, H, W, row-offset) record.  Exactly the
     detectron2 assignment + ROIAlignRotated semantics at 1/L of the work.
+
+    With ``sampling_ratio=0`` and ``0 < bulk_sampling_ratio <
+    max_sampling_ratio``, uses the split-capacity strategy of
+    ``roi_align_rotated_adaptive``: a bulk pass at the small static grid
+    plus a full-grid pass on up to ``large_roi_budget`` rois that need it.
     """
     pooled_h, pooled_w = output_size
     min_level = int(strides[0]).bit_length() - 1
@@ -359,10 +438,31 @@ def multilevel_roi_align_rotated_packed(
         ],
         jnp.float32,
     )
-    grid = sampling_ratio if sampling_ratio > 0 else max_sampling_ratio
-    return _packed_pool_impl(
-        flat, level_meta, rois.astype(jnp.float32), levels,
+    rois = rois.astype(jnp.float32)
+    split = 0 < bulk_sampling_ratio < max_sampling_ratio and sampling_ratio == 0
+    grid = sampling_ratio if sampling_ratio > 0 else (
+        bulk_sampling_ratio if split else max_sampling_ratio
+    )
+    pooled = _packed_pool_impl(
+        flat, level_meta, rois, levels,
         pooled_h, pooled_w, grid, sampling_ratio,
+    )
+    if not split:
+        return pooled
+
+    stride_r = level_meta[levels, 0]
+    g_h = jnp.ceil(rois[:, 3] / stride_r / pooled_h)
+    g_w = jnp.ceil(rois[:, 2] / stride_r / pooled_w)
+    is_large = (g_h > bulk_sampling_ratio) | (g_w > bulk_sampling_ratio)
+    budget = min(large_roi_budget, rois.shape[0])
+    sel_flag, sel_idx = jax.lax.top_k(is_large.astype(jnp.int32), budget)
+    fine = _packed_pool_impl(
+        flat, level_meta, rois[sel_idx], levels[sel_idx],
+        pooled_h, pooled_w, max_sampling_ratio, 0,
+    )
+    keep = (sel_flag > 0)[:, None, None, None]
+    return pooled.at[sel_idx].set(
+        jnp.where(keep, fine, pooled[sel_idx]), mode="drop"
     )
 
 

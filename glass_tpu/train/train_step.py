@@ -39,7 +39,7 @@ from ..models.glass_rcnn import (
 from ..models import rpn as rpn_mod
 from ..models import box_head as bh
 from ..models.fusion import p2p3_fusion_apply
-from ..models.local_extractor import local_extractor_apply
+from ..models.local_extractor import local_extractor_forward
 from ..models.mask_head import mask_head_apply
 from ..models.recognizer import recognizer_layers_apply, aster_decode_train
 from ..models.fpn import FPN_LEVEL_STRIDES
@@ -375,12 +375,18 @@ def glass_train_forward(
         fused = p2p3_fusion_apply(
             ctx, params["roi_heads"]["recognizer_feature_fusion"], p2, p3
         )
-        from ..ops.roi_align_rotated import roi_align_rotated
+        from ..ops.roi_align_rotated import (
+            roi_align_rotated,
+            roi_align_rotated_adaptive,
+        )
 
         global_f = jax.vmap(
-            lambda fmap, bx: roi_align_rotated(
+            lambda fmap, bx: roi_align_rotated_adaptive(
                 fmap, bx, arch.recognizer_pool_hw,
-                spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"], sampling_ratio=0,
+                spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
+                max_sampling_ratio=arch.pool_max_sampling_ratio,
+                bulk_sampling_ratio=arch.pool_bulk_sampling_ratio,
+                large_roi_budget=arch.pool_large_roi_budget,
             )
         )(fused, word_boxes)
         crops = jax.vmap(
@@ -394,8 +400,9 @@ def glass_train_forward(
         w = w_cap
         crops = crops.reshape(b * w, *crops.shape[2:])
         global_f = global_f.reshape(b * w, *global_f.shape[2:])
-        local_f = local_extractor_apply(
-            ctx, params["roi_heads"]["hybrid_net"]["ConvNet"], crops
+        local_f = local_extractor_forward(
+            ctx, params["roi_heads"]["hybrid_net"]["ConvNet"], crops,
+            arch.local_extractor_name,
         )
         fused_words = jnp.concatenate([local_f, global_f], axis=-1)
         from ..models.fusion import apply_fusion

@@ -144,3 +144,75 @@ def test_packed_pyramid_matches_per_level_pooler(rng):
         np.testing.assert_allclose(
             np.asarray(packed), np.asarray(ref), atol=2e-5, err_msg=f"sr={sr}"
         )
+
+
+def test_adaptive_split_matches_monolithic():
+    """roi_align_rotated_adaptive (bulk cap-2 + full-grid pass on large rois)
+    must equal the single max-grid pass exactly when the large-roi budget is
+    not exceeded — masked samples contribute exact zeros, so buffer capacity
+    cannot change the per-bin sums."""
+    from glass_tpu.ops.roi_align_rotated import roi_align_rotated_adaptive
+
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.randn(60, 90, 16).astype(np.float32))
+    n = 40
+    # mix: mostly small rois (grid 1-2), a handful needing grid 3-4
+    w = np.where(rng.rand(n) < 0.2, rng.rand(n) * 600 + 300, rng.rand(n) * 100 + 16)
+    h = np.where(rng.rand(n) < 0.2, rng.rand(n) * 200 + 100, rng.rand(n) * 40 + 10)
+    rois = np.stack([
+        rng.rand(n) * 300 + 20, rng.rand(n) * 200 + 20, w, h,
+        (rng.rand(n) - 0.5) * 180,
+    ], 1).astype(np.float32)
+    rois_j = jnp.asarray(rois)
+
+    mono = roi_align_rotated(
+        feat, rois_j, (8, 32), spatial_scale=0.25,
+        sampling_ratio=0, max_sampling_ratio=4,
+    )
+    split = roi_align_rotated_adaptive(
+        feat, rois_j, (8, 32), spatial_scale=0.25,
+        max_sampling_ratio=4, bulk_sampling_ratio=2, large_roi_budget=n,
+    )
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(mono))
+
+    # overflowed budget: large rois beyond the budget fall back to the bulk
+    # grid; small rois must still be bit-exact.
+    split_tight = roi_align_rotated_adaptive(
+        feat, rois_j, (8, 32), spatial_scale=0.25,
+        max_sampling_ratio=4, bulk_sampling_ratio=2, large_roi_budget=4,
+    )
+    g_h = np.ceil(rois[:, 3] * 0.25 / 8)
+    g_w = np.ceil(rois[:, 2] * 0.25 / 32)
+    small = (g_h <= 2) & (g_w <= 2)
+    np.testing.assert_array_equal(
+        np.asarray(split_tight)[small], np.asarray(mono)[small]
+    )
+
+
+def test_multilevel_packed_split_matches_monolithic():
+    from glass_tpu.ops.roi_align_rotated import multilevel_roi_align_rotated_packed
+
+    rng = np.random.RandomState(5)
+    feats = [
+        jnp.asarray(rng.randn(64, 96, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(32, 48, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(16, 24, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(8, 12, 8).astype(np.float32)),
+    ]
+    strides = [4, 8, 16, 32]
+    n = 30
+    w = np.where(rng.rand(n) < 0.25, rng.rand(n) * 1000 + 800, rng.rand(n) * 120 + 20)
+    h = np.where(rng.rand(n) < 0.25, rng.rand(n) * 300 + 200, rng.rand(n) * 50 + 12)
+    rois = jnp.asarray(np.stack([
+        rng.rand(n) * 300 + 20, rng.rand(n) * 200 + 10, w, h,
+        (rng.rand(n) - 0.5) * 180,
+    ], 1).astype(np.float32))
+
+    mono = multilevel_roi_align_rotated_packed(
+        feats, rois, (14, 14), strides, sampling_ratio=0, max_sampling_ratio=4,
+    )
+    split = multilevel_roi_align_rotated_packed(
+        feats, rois, (14, 14), strides, sampling_ratio=0, max_sampling_ratio=4,
+        bulk_sampling_ratio=2, large_roi_budget=n,
+    )
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(mono))
