@@ -479,6 +479,17 @@ def get_default_config() -> CN:
     _C.TPU.POOL_MAX_SAMPLING_RATIO = 4
     _C.TPU.POOL_BULK_SAMPLING_RATIO = 2
     _C.TPU.POOL_LARGE_ROI_BUDGET = 16
+    # Recognizer host-fetch representation: "topk" = on-device argmax ids +
+    # per-step max probs (12x smaller transfer; sufficient for argmax
+    # decoding). "probs" = full (T, V) distributions — REQUIRED when lexicon
+    # correction uses the weighted edit distance (TEST.LEXICON_WEIGHTED /
+    # --weighted-ed); tools/eval_glass.py switches automatically.
+    _C.TPU.TEXT_EMIT = "topk"
+    _C.TPU.MASK_FETCH_DTYPE = "float16"  # mask probs fetch dtype
+    # Eval/batched path: resize + upload uint8 images and normalize on
+    # device (the reference uploads uint8 and converts on-device too,
+    # glass_runner.py:133-134; detectron2's eval mapper resizes uint8).
+    _C.TPU.EVAL_UINT8_TRANSFER = True
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.MESH_AXES = ["data"]
     _C.TPU.SYNC_BN = True             # psum batch stats across the data axis

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..postprocess.np_geometry import boxes_to_polygons_np
 from ..structures import Instances
-from ..text import TextCodec, decode_topk_probs
+from ..text import TextCodec, decode_instance_texts
 from .text_eval import EvalInstance, evaluate_dataset
 from .lexicon import Lexicon, LexiconSet, match_transcript
 
@@ -68,8 +68,21 @@ def instances_to_eval(
     out: List[EvalInstance] = []
     if len(preds) == 0:
         return out
-    prob_matrix = np.asarray(preds.pred_text_prob)
-    texts, scores, char_scores = decode_topk_probs(prob_matrix, codec)
+    prob_matrix = (
+        np.asarray(preds.pred_text_prob) if preds.has("pred_text_prob") else None
+    )
+    weighted = bool(
+        (lexicon_set is not None and lexicon_set.weighted)
+        or (lexicon is not None and getattr(lexicon, "weighted", False))
+    )
+    if weighted and prob_matrix is None:
+        raise ValueError(
+            "Weighted-edit-distance lexicon correction needs the full "
+            "per-step character distributions; run the model with "
+            "TPU.TEXT_EMIT=probs (tools/eval_glass.py sets this "
+            "automatically for --weighted-ed)."
+        )
+    texts, scores, char_scores = decode_instance_texts(preds, codec)
     boxes = np.asarray(preds.pred_boxes)
     det_scores = np.asarray(preds.scores)
     has_mask_polys = use_masks and preds.has("pred_mask_polygons")
@@ -93,14 +106,17 @@ def instances_to_eval(
             # otherwise.  Char probs skip the leading [GO] step so position
             # j aligns with text[j] (decode starts emitting at step 0).
             corrected = lexicon_set.correct(
-                text, image_id=image_id, char_probs=prob_matrix[i],
+                text, image_id=image_id,
+                char_probs=prob_matrix[i] if prob_matrix is not None else None,
                 char_encode=codec.char_encode,
             )
             if corrected is None:
                 continue
             text = corrected
         elif lexicon is not None and text:
-            text = lexicon.correct(text, prob_matrix[i], codec)
+            text = lexicon.correct(
+                text, prob_matrix[i] if prob_matrix is not None else None, codec
+            )
         if lexicon_set is not None or lexicon is not None or word_spotting:
             text = match_transcript(text, word_spotting)
         out.append(

@@ -35,6 +35,16 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _set_text_fields(inst: Instances, out: dict, sel) -> None:
+    """Copy whichever recognizer representation the model emitted
+    (TPU.TEXT_EMIT): full distributions or on-device argmax ids+scores."""
+    if "text_probs" in out:
+        inst.pred_text_prob = out["text_probs"][sel]
+    if "text_ids" in out:
+        inst.pred_text_ids = out["text_ids"][sel]
+        inst.pred_text_step_scores = out["text_step_scores"][sel]
+
+
 class GlassRunner:
     def __init__(
         self,
@@ -127,8 +137,7 @@ class GlassRunner:
             pred_classes=out["classes"][valid],
             orientations=out["orientations"][valid],
         )
-        if "text_probs" in out:
-            inst.pred_text_prob = out["text_probs"][valid]
+        _set_text_fields(inst, out, valid)
         if "mask_probs" in out:
             inst.pred_masks = out["mask_probs"][valid]
             inst.pred_rboxes = out["boxes"][valid]
@@ -170,34 +179,33 @@ class GlassRunner:
 
         d = self.arch.detections_per_image
         out = dict(det_np)
-        if "text_probs" in heads:
-            t = heads["text_probs"]
-            full = np.zeros((d,) + t.shape[1:], t.dtype)
-            full[order[:k]] = t[:k]
-            out["text_probs"] = full
-        if "mask_probs" in heads:
-            m = heads["mask_probs"]
-            full = np.zeros((d,) + m.shape[1:], m.dtype)
-            full[order[:k]] = m[:k]
-            out["mask_probs"] = full
+        for key in ("text_probs", "text_ids", "text_step_scores", "mask_probs"):
+            if key in heads:
+                t = heads[key]
+                full = np.zeros((d,) + t.shape[1:], t.dtype)
+                full[order[:k]] = t[:k]
+                out[key] = full
         return out
 
-    def run_batch_on_resized(self, images: List[np.ndarray]) -> List[Instances]:
-        """Batched inference over same-bucket resized images (one vmapped
-        jit call) — the eval-throughput path; amortizes per-dispatch cost."""
-        if not images:
-            return []
+    def dispatch_batch(self, images: List[np.ndarray]):
+        """Async half of ``run_batch_on_resized``: upload + enqueue the
+        vmapped model call, returning (device_out, hws) without fetching.
+        Lets callers overlap host post-processing of the previous batch with
+        this batch's device compute (``eval_batch_call`` does)."""
         bh = max(self._pick_bucket(*im.shape[:2])[0] for im in images)
         bw = max(self._pick_bucket(*im.shape[:2])[1] for im in images)
         b = len(images)
-        padded = np.zeros((b, bh, bw, 3), np.float32)
+        dtype = (
+            np.uint8 if all(im.dtype == np.uint8 for im in images) else np.float32
+        )
+        padded = np.zeros((b, bh, bw, 3), dtype)
         hws = np.zeros((b, 2), np.int32)
         for i, im in enumerate(images):
             h, w = im.shape[:2]
             padded[i, :h, :w] = im
             hws[i] = (h, w)
 
-        key = (b, bh, bw)
+        key = (b, bh, bw, padded.dtype.str)
         if key not in self._jit_batch_fns:
             arch = self.arch
             self._jit_batch_fns[key] = jax.jit(
@@ -207,10 +215,21 @@ class GlassRunner:
                 )
             )
         out = self._jit_batch_fns[key](self.params, jnp.asarray(padded), jnp.asarray(hws))
-        out = jax.tree_util.tree_map(np.asarray, out)
+        return out, hws
 
+    def run_batch_on_resized(self, images: List[np.ndarray]) -> List[Instances]:
+        """Batched inference over same-bucket resized images (one vmapped
+        jit call) — the eval-throughput path; amortizes per-dispatch cost."""
+        if not images:
+            return []
+        return self.collect_batch(self.dispatch_batch(images))
+
+    def collect_batch(self, dispatched) -> List[Instances]:
+        """Fetch + unpack a ``dispatch_batch`` result."""
+        out, hws = dispatched
+        out = jax.tree_util.tree_map(np.asarray, out)
         results = []
-        for i, im in enumerate(images):
+        for i in range(len(hws)):
             valid = out["valid"][i]
             inst = Instances(
                 tuple(hws[i]),
@@ -219,8 +238,7 @@ class GlassRunner:
                 pred_classes=out["classes"][i][valid],
                 orientations=out["orientations"][i][valid],
             )
-            if "text_probs" in out:
-                inst.pred_text_prob = out["text_probs"][i][valid]
+            _set_text_fields(inst, {k: v[i] for k, v in out.items()}, valid)
             if "mask_probs" in out:
                 inst.pred_masks = out["mask_probs"][i][valid]
                 inst.pred_rboxes = out["boxes"][i][valid]
@@ -300,6 +318,11 @@ class GlassRunner:
         detector_postprocess back to original sizes."""
         from ..data.mapper import shortest_edge_size
 
+        # uint8 transfer: resize the raw uint8 image and upload uint8,
+        # normalizing on device — 4x less host->device traffic, and the
+        # reference-faithful dtype path (d2's eval mapper resizes uint8;
+        # the reference runner uploads uint8, glass_runner.py:133-134).
+        u8 = bool(self.cfg.TPU.EVAL_UINT8_TRANSFER)
         prepped = []
         for img in original_images:
             if self.input_format == "RGB":
@@ -308,22 +331,37 @@ class GlassRunner:
                 img = rgb2grey(img, three_channels=True)
             oh, ow = img.shape[:2]
             nh, nw = shortest_edge_size(oh, ow, self.min_target_size, self.max_target_size)
-            prepped.append((cv2.resize(img.astype(np.float32), (nw, nh)), (oh, ow)))
+            if not u8 or img.dtype != np.uint8:
+                img = img.astype(np.float32)
+            prepped.append((cv2.resize(img, (nw, nh)), (oh, ow)))
 
         results: List[Optional[Instances]] = [None] * len(prepped)
         order = sorted(
             range(len(prepped)), key=lambda i: self._pick_bucket(*prepped[i][0].shape[:2])
         )
-        for start in range(0, len(order), batch_size):
-            idxs = order[start : start + batch_size]
-            preds = self.run_batch_on_resized([prepped[i][0] for i in idxs])
-            for i, pr in zip(idxs, preds):
-                oh, ow = prepped[i][1]
-                pr = self._model_postprocess(pr, oh, ow)
-                if self.post_process_flag:
-                    pr = self.post_processor(pr)
-                results[i] = pr
+        # One-deep software pipeline: the next batch's upload + model call is
+        # enqueued (async JAX dispatch) before this batch's host
+        # post-processing runs, overlapping device and host work.
+        chunks = [order[s : s + batch_size] for s in range(0, len(order), batch_size)]
+        inflight = None
+        for ci, idxs in enumerate(chunks):
+            dispatched = self.dispatch_batch([prepped[i][0] for i in idxs])
+            if inflight is not None:
+                self._finish_eval_chunk(inflight, prepped, results)
+            inflight = (idxs, dispatched)
+        if inflight is not None:
+            self._finish_eval_chunk(inflight, prepped, results)
         return results
+
+    def _finish_eval_chunk(self, inflight, prepped, results) -> None:
+        idxs, dispatched = inflight
+        preds = self.collect_batch(dispatched)
+        for i, pr in zip(idxs, preds):
+            oh, ow = prepped[i][1]
+            pr = self._model_postprocess(pr, oh, ow)
+            if self.post_process_flag:
+                pr = self.post_processor(pr)
+            results[i] = pr
 
     def batch_call(self, original_images: List[np.ndarray], batch_size: int = 8) -> List[Instances]:
         """Full-pipeline batched inference: per-image resize rules, grouped
@@ -401,17 +439,20 @@ class GlassRunner:
             arch = self.arch
 
             def fn(params, img, bx):
+                from ..models.glass_rcnn import _emit_text
+
                 ctx = Ctx(train=False)
                 norm = preprocess(arch, img)
                 feats = backbone_features(ctx, arch, params, norm[None])
-                out = {
-                    "text_probs": recognize_single_image(ctx, arch, params, feats, norm, bx)
-                }
+                out = _emit_text(
+                    arch,
+                    recognize_single_image(ctx, arch, params, feats, norm, bx),
+                )
                 if arch.mask_on and arch.mask_inference:
                     out["mask_probs"] = mask_single_image(
                         ctx, arch, params, feats, bx,
                         jnp.zeros((bx.shape[0],), jnp.int32),
-                    )
+                    ).astype(arch.mask_fetch_dtype)
                 return out
 
             self._jit_given_boxes = jax.jit(fn)
@@ -419,13 +460,13 @@ class GlassRunner:
         out = self._jit_given_boxes(self.params, jnp.asarray(padded), jnp.asarray(boxes))
         out = jax.tree_util.tree_map(np.asarray, out)
         instances = instances[np.arange(n)]
-        instances.pred_text_prob = out["text_probs"][:n]
+        _set_text_fields(instances, out, np.arange(n))
         if "mask_probs" in out:
             instances.pred_masks = out["mask_probs"][:n]
             instances.pred_rboxes = np.asarray(instances.pred_boxes)
         return instances
 
     def decode_texts(self, preds: Instances):
-        from ..text import decode_topk_probs
+        from ..text import decode_instance_texts
 
-        return decode_topk_probs(np.asarray(preds.pred_text_prob), self.codec)
+        return decode_instance_texts(preds, self.codec)

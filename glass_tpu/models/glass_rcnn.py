@@ -116,6 +116,12 @@ class GlassArch:
     # Execution
     compute_dtype: str = "float32"
     remat_backbone: bool = False
+    # "topk": emit per-step argmax ids + max probs (12x smaller host fetch;
+    # exactly what argmax decoding consumes). "probs": full (T, V)
+    # distributions — required by weighted-edit-distance lexicon correction.
+    text_emit: str = "topk"
+    # fetch dtype for mask probabilities (thresholded at 0.5 downstream)
+    mask_fetch_dtype: str = "float16"
 
     @classmethod
     def from_config(cls, cfg) -> "GlassArch":
@@ -183,6 +189,8 @@ class GlassArch:
             mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            text_emit=cfg.TPU.TEXT_EMIT,
+            mask_fetch_dtype=cfg.TPU.MASK_FETCH_DTYPE,
         )
 
 
@@ -488,14 +496,31 @@ def glass_inference_single(
         "valid": det.valid,
     }
     if arch.recognizer_on:
-        out["text_probs"] = recognize_single_image(
-            ctx, arch, params, feats, norm, det.boxes
-        )
+        probs = recognize_single_image(ctx, arch, params, feats, norm, det.boxes)
+        out.update(_emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
         out["mask_probs"] = mask_single_image(
             ctx, arch, params, feats, det.boxes, det.classes
-        )
+        ).astype(arch.mask_fetch_dtype)
     return out
+
+
+def _emit_text(arch: GlassArch, probs: jnp.ndarray) -> dict:
+    """Host-fetch representation of the recognizer output.
+
+    The argmax decoding of the reference (``text_evaluator.
+    get_instances_text``) only consumes per-step argmax ids and max probs, so
+    the default "topk" mode computes those on device — 12x less host
+    traffic than the full (D, T, V) tensor.  "probs" keeps the full
+    distributions (needed by weighted-edit-distance lexicon correction,
+    reference ``lexicon_utils.py:136-181``).
+    """
+    if arch.text_emit == "topk":
+        return {
+            "text_ids": jnp.argmax(probs, axis=-1).astype(jnp.int32),
+            "text_step_scores": jnp.max(probs, axis=-1),
+        }
+    return {"text_probs": probs}
 
 
 def glass_detect_stage(arch: GlassArch, params: dict, image: jnp.ndarray,
@@ -521,11 +546,12 @@ def glass_heads_stage(arch: GlassArch, params: dict, feats, norm: jnp.ndarray,
     ctx = Ctx(train=False)
     out = {}
     if arch.recognizer_on:
-        out["text_probs"] = recognize_single_image(ctx, arch, params, feats, norm, boxes)
+        probs = recognize_single_image(ctx, arch, params, feats, norm, boxes)
+        out.update(_emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
         out["mask_probs"] = mask_single_image(
             ctx, arch, params, feats, boxes, jnp.zeros((boxes.shape[0],), jnp.int32)
-        )
+        ).astype(arch.mask_fetch_dtype)
     return out
 
 

@@ -22,7 +22,7 @@ import logging
 import numpy as np
 
 from ..structures import Instances
-from ..text import TextCodec, decode_topk_probs
+from ..text import TextCodec, decode_instance_texts
 from .np_geometry import (
     boxes_to_polygons_np,
     nms_rotated_np,
@@ -188,7 +188,7 @@ class PostProcessorAcademic(PostProcessorRotatedBoxes):
         preds = super().__call__(preds)
         if len(preds) == 0:
             return preds
-        _, text_scores, _ = decode_topk_probs(np.asarray(preds.pred_text_prob), self.codec)
+        _, text_scores, _ = decode_instance_texts(preds, self.codec)
         return preds[np.asarray(text_scores) >= self.text_threshold]
 
     @staticmethod

@@ -1,1 +1,2 @@
-from .codec import TextCodec, decode_topk_probs, GO_TOKEN, STOP_TOKEN, UNK_TOKEN
+from .codec import (TextCodec, decode_topk_probs, decode_topk_ids,
+                    decode_instance_texts, GO_TOKEN, STOP_TOKEN, UNK_TOKEN)

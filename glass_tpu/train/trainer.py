@@ -138,7 +138,7 @@ class Trainer:
         from ..data import DatasetManager
         from ..evaluation import TextEvaluator
         from ..inference import GlassRunner
-        from ..text import decode_topk_probs
+        from ..text import decode_instance_texts
 
         runner = GlassRunner(model_path=None, cfg=self.cfg, params=self.params)
         results = {}
@@ -155,9 +155,7 @@ class Trainer:
                 preds = runner(image)
                 evaluator.process(str(record.get("image_id", i)), preds, record)
                 if shown < 1 and len(preds):
-                    texts, scores, _ = decode_topk_probs(
-                        np.asarray(preds.pred_text_prob), runner.codec
-                    )
+                    texts, scores, _ = decode_instance_texts(preds, runner.codec)
                     gt = [a.get("text", "") for a in record.get("annotations", [])][:7]
                     logger.info(
                         "sample preds: %s | gt: %s",

@@ -155,3 +155,23 @@ def test_batched_nms_classes_dont_suppress():
     idxs = jnp.array([0, 1])
     keep = np.asarray(batched_nms_rotated_mask(boxes, scores, idxs, 0.5))
     np.testing.assert_array_equal(keep, [True, True])
+
+
+def test_exact_top_k_matches_flat():
+    """Row-split exact top-k (models.rpn.exact_top_k) == lax.top_k, values
+    and tie-order identical, across sizes spanning the rows>1 and rows=1
+    paths and with repeated values."""
+    import jax
+    import jax.numpy as jnp
+    from glass_tpu.models.rpn import exact_top_k
+
+    rng = np.random.RandomState(7)
+    for n, k in [(706560, 1000), (176640, 1000), (11040, 1000), (300, 100)]:
+        x = rng.randn(n).astype(np.float32)
+        # inject ties to exercise tie-order equivalence
+        x[rng.randint(0, n, size=n // 10)] = 1.5
+        xj = jnp.asarray(x)
+        fv, fi = jax.lax.top_k(xj, k)
+        hv, hi = exact_top_k(xj, k)
+        np.testing.assert_array_equal(np.asarray(fv), np.asarray(hv))
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(hi))

@@ -36,10 +36,29 @@ def test_inference_shapes(tiny_arch, tiny_params):
     assert out["boxes"].shape == (8, 5)
     assert out["scores"].shape == (8,)
     assert out["valid"].shape == (8,)
-    assert out["text_probs"].shape == (8, 6, 97)
+    # default TEXT_EMIT="topk": on-device argmax ids + per-step max probs
+    assert out["text_ids"].shape == (8, 6)
+    assert out["text_step_scores"].shape == (8, 6)
     assert out["mask_probs"].shape == (8, 28, 28)
     for v in out.values():
-        assert np.isfinite(np.asarray(v)).all()
+        assert np.isfinite(np.asarray(v, np.float32)).all()
+
+    # "probs" mode must agree with the on-device argmax exactly.
+    import dataclasses
+
+    probs_arch = dataclasses.replace(tiny_arch, text_emit="probs")
+    out_p = glass_inference_single(
+        probs_arch, tiny_params, img, jnp.array([120, 150], jnp.int32)
+    )
+    assert out_p["text_probs"].shape == (8, 6, 97)
+    np.testing.assert_array_equal(
+        np.asarray(out_p["text_probs"]).argmax(-1), np.asarray(out["text_ids"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p["text_probs"]).max(-1),
+        np.asarray(out["text_step_scores"]),
+        rtol=1e-6,
+    )
 
 
 def test_inference_jits(tiny_arch, tiny_params):

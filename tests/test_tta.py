@@ -33,5 +33,5 @@ def test_tta_merges_views():
     preds = tta(img)
     assert preds.image_size == (80, 100)
     if len(preds):
-        assert preds.has("pred_text_prob")
+        assert preds.has("pred_text_ids") or preds.has("pred_text_prob")
         assert np.isfinite(np.asarray(preds.pred_boxes)).all()

@@ -45,7 +45,12 @@ def test_two_stage_matches_single_stage():
             np.asarray(single.pred_boxes), np.asarray(two.pred_boxes), atol=1e-4
         )
         np.testing.assert_allclose(
-            np.asarray(single.pred_text_prob),
-            np.asarray(two.pred_text_prob),
+            np.asarray(single.pred_text_step_scores),
+            np.asarray(two.pred_text_step_scores),
             atol=2e-3,
+        )
+        # argmax ids may legitimately differ only where two classes are
+        # within the bf16 tolerance; with random weights they agree.
+        np.testing.assert_array_equal(
+            np.asarray(single.pred_text_ids), np.asarray(two.pred_text_ids)
         )

@@ -77,6 +77,10 @@ def setup(args):
         cfg.TEST.STRONG_LEXICON_DIR = args.strong_lexicon_dir
     if args.weighted_ed:
         cfg.TEST.LEXICON_WEIGHTED = True
+    if args.weighted_ed or cfg.TEST.LEXICON_WEIGHTED:
+        # Weighted edit distance consumes the full per-step character
+        # distributions — keep them on the host fetch path.
+        cfg.TPU.TEXT_EMIT = "probs"
     if args.word_spotting:
         cfg.IS_WORD_SPOTTING = True
     setup_logger(output=args.output)
