@@ -262,9 +262,45 @@ def lstm_layer(
 
 
 def bilstm(x: jnp.ndarray, params: dict) -> jnp.ndarray:
-    """Bidirectional LSTM: params {fwd: {...}, bwd: {...}} -> (B, T, 2H)."""
-    fwd = lstm_layer(x, params["fwd"], reverse=False)
-    bwd = lstm_layer(x, params["bwd"], reverse=True)
+    """Bidirectional LSTM: params {fwd: {...}, bwd: {...}} -> (B, T, 2H).
+
+    Both directions run in ONE ``lax.scan`` (the backward direction
+    processes time-reversed inputs with its own weights via a batched
+    einsum), halving the number of sequential scan steps — these tiny
+    per-step matmuls are launch-overhead bound on TPU, not FLOP bound.
+    """
+    fp, bp = params["fwd"], params["bwd"]
+    w_hh = jnp.stack(
+        [fp["weight_hh"], bp["weight_hh"]], axis=0
+    ).astype(x.dtype)  # (2, 4H, H)
+    hidden = w_hh.shape[2]
+    b, t = x.shape[0], x.shape[1]
+
+    def proj(p):
+        return jnp.einsum("bti,gi->btg", x, p["weight_ih"].astype(x.dtype)) + (
+            p["bias_ih"] + p["bias_hh"]
+        ).astype(x.dtype)
+
+    xp_f = proj(fp)
+    xp_b = proj(bp)[:, ::-1]  # backward direction reads time-reversed input
+    xs = jnp.stack([xp_f, xp_b], axis=0)  # (2, B, T, 4H)
+    xs = jnp.moveaxis(xs, 2, 0)  # (T, 2, B, 4H)
+
+    def step(carry, xp):
+        h, c = carry  # (2, B, H)
+        gates = xp + jnp.einsum("dbh,dgh->dbg", h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((2, b, hidden), x.dtype),
+        jnp.zeros((2, b, hidden), x.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, xs)  # (T, 2, B, H)
+    fwd = jnp.moveaxis(hs[:, 0], 0, 1)  # (B, T, H)
+    bwd = jnp.moveaxis(hs[:, 1], 0, 1)[:, ::-1]
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
