@@ -128,7 +128,7 @@ class GlassRunner:
             out = self._jit_fn(
                 self.params, jnp.asarray(padded), jnp.asarray([h, w], jnp.int32)
             )
-            out = jax.tree_util.tree_map(np.asarray, out)
+            out = jax.device_get(out)
         valid = out["valid"]
         inst = Instances(
             (h, w),
@@ -157,7 +157,7 @@ class GlassRunner:
         det, feats, norm = self._jit_detect(
             self.params, jnp.asarray(padded), jnp.asarray(hw, jnp.int32)
         )
-        det_np = jax.tree_util.tree_map(np.asarray, det)
+        det_np = jax.device_get(det)
         n = int(det_np["valid"].sum())
         buckets = sorted(self.cfg.TPU.WORD_BUCKETS) + [self.arch.detections_per_image]
         cap = next(b for b in buckets if b >= n)
@@ -175,7 +175,7 @@ class GlassRunner:
                 lambda p, f, nm, bx: glass_heads_stage(arch, p, f, nm, bx)
             )
         heads = self._jit_heads[cap](self.params, feats, norm, jnp.asarray(boxes))
-        heads = jax.tree_util.tree_map(np.asarray, heads)
+        heads = jax.device_get(heads)
 
         d = self.arch.detections_per_image
         out = dict(det_np)
@@ -227,7 +227,10 @@ class GlassRunner:
     def collect_batch(self, dispatched) -> List[Instances]:
         """Fetch + unpack a ``dispatch_batch`` result."""
         out, hws = dispatched
-        out = jax.tree_util.tree_map(np.asarray, out)
+        # device_get starts every leaf's device->host copy before awaiting
+        # any of them; a per-leaf np.asarray loop would serialize one
+        # round-trip latency per output tensor.
+        out = jax.device_get(out)
         results = []
         for i in range(len(hws)):
             valid = out["valid"][i]
@@ -458,7 +461,7 @@ class GlassRunner:
             self._jit_given_boxes = jax.jit(fn)
 
         out = self._jit_given_boxes(self.params, jnp.asarray(padded), jnp.asarray(boxes))
-        out = jax.tree_util.tree_map(np.asarray, out)
+        out = jax.device_get(out)
         instances = instances[np.arange(n)]
         _set_text_fields(instances, out, np.arange(n))
         if "mask_probs" in out:
