@@ -461,6 +461,11 @@ def get_default_config() -> CN:
     _C.TPU.MAX_DETECTIONS = 100       # capacity of the padded detection set
     _C.TPU.MAX_WORDS = 128            # recognizer batch capacity at inference
     _C.TPU.MAX_GT_INSTANCES = 256     # padded ground-truth capacity (train)
+    # Exact-rotated-IoU candidate pool of the RPN anchor matcher
+    # (train/matcher.py::rpn_label_anchors); matching is exact while the
+    # number of anchors whose IoU upper bound clears the ignore threshold
+    # stays within the pool.
+    _C.TPU.MATCH_POOL = 16384
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     # Raw-image crop pooler sampling grid (static!). The reference uses a
     # fixed 2x2 grid per output bin; at 128x128 output the bins of typical

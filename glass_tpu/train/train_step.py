@@ -72,7 +72,7 @@ class TrainConfig:
     mask_loss_weight: float = 0.005
     masks_per_image: int = 128
     mask_size: int = 28
-    match_topk: int = 512
+    match_topk: int = 16384  # exact-IoU anchor-match pool (TPU.MATCH_POOL)
 
     @classmethod
     def from_config(cls, cfg) -> "TrainConfig":
@@ -102,6 +102,7 @@ class TrainConfig:
                 cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
                 * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION
             ),
+            match_topk=cfg.TPU.MATCH_POOL,
         )
 
 

@@ -96,3 +96,73 @@ def test_rpn_label_anchors_against_dense(rng):
             assert abs(iou[am[i], i] - iou[:, i].max()) < 1e-5
             mismatch += 1
     assert mismatch <= 2
+
+
+def test_iou_upper_bound_is_valid(rng):
+    from glass_tpu.train.matcher import _pairwise_iou_upper_bound
+
+    m, n = 150, 200
+    b1 = np.stack(
+        [
+            rng.rand(m) * 200, rng.rand(m) * 200,
+            rng.rand(m) * 120 + 2, rng.rand(m) * 60 + 2,
+            (rng.rand(m) - 0.5) * 360,
+        ],
+        axis=1,
+    ).astype(np.float32)
+    b2 = np.stack(
+        [
+            rng.rand(n) * 200, rng.rand(n) * 200,
+            rng.rand(n) * 120 + 2, rng.rand(n) * 60 + 2,
+            (rng.rand(n) - 0.5) * 360,
+        ],
+        axis=1,
+    ).astype(np.float32)
+    ub = np.asarray(_pairwise_iou_upper_bound(jnp.asarray(b1), jnp.asarray(b2)))
+    iou = np.asarray(pairwise_iou_rotated(jnp.asarray(b1), jnp.asarray(b2)))
+    # valid upper bound (up to f32 rounding)
+    assert float((iou - ub).max()) < 1e-4
+    # exact for parallel boxes
+    b1[:, 4] = 17.0
+    b2[:, 4] = 17.0
+    ub0 = np.asarray(_pairwise_iou_upper_bound(jnp.asarray(b1), jnp.asarray(b2)))
+    iou0 = np.asarray(pairwise_iou_rotated(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(ub0, iou0, atol=2e-3)
+
+
+def test_rpn_label_anchors_gridded_anchors_vs_dense(rng):
+    # Anchor-grid regime: pooled 2-round matching must equal dense matching
+    # while candidate counts stay within the pool.
+    from glass_tpu.models import rpn as rpn_mod
+
+    cell = rpn_mod.generate_cell_anchors((32,), (0.2, 0.5, 1.0), (-90, -45, 0, 45))
+    anchors = np.asarray(
+        rpn_mod.generate_anchors_for_level(16, 16, 8, cell, 0.0)
+    ).astype(np.float32)  # 3072 anchors
+    g = 12
+    gt = np.stack(
+        [
+            rng.uniform(10, 120, g), rng.uniform(10, 120, g),
+            rng.uniform(12, 70, g), rng.uniform(6, 24, g),
+            rng.uniform(-90, 90, g),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    valid = np.ones(g, bool)
+    labels, matched = rpn_label_anchors(
+        jnp.asarray(gt), jnp.asarray(valid), jnp.asarray(anchors), k=2048
+    )
+    iou = np.asarray(pairwise_iou_rotated(jnp.asarray(gt), jnp.asarray(anchors)))
+    mv = iou.max(axis=0)
+    ref = np.where(mv >= 0.7, 1, np.where(mv >= 0.3, -1, 0))
+    best = iou.max(axis=1, keepdims=True)
+    lq = ((iou >= best - 1e-5) & (best > 1e-5)).any(axis=0)
+    ref = np.where(lq, 1, ref)
+    got = np.asarray(labels)
+    # borderline anchors within f32 rounding of a threshold may differ
+    diff = np.where(got != ref)[0]
+    for i in diff:
+        assert (
+            min(abs(mv[i] - 0.3), abs(mv[i] - 0.7)) < 1e-3
+        ), f"anchor {i}: got {got[i]} ref {ref[i]} iou {mv[i]}"
+    assert len(diff) <= 5
