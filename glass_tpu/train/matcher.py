@@ -304,6 +304,8 @@ def subsample_labels(
     ``num_pos <= num_samples * positive_fraction`` and
     ``num_neg = min(#neg, num_samples - num_pos)``.
     """
+    from ..models.rpn import exact_top_k
+
     n = labels.shape[0]
     k1, k2 = jax.random.split(key)
     is_pos = labels == 1
@@ -314,12 +316,20 @@ def subsample_labels(
     num_pos = jnp.minimum(num_pos_avail, max_pos)
     num_neg = jnp.minimum(jnp.sum(is_neg), num_samples - num_pos)
 
-    # Random priorities: valid entries get uniform keys, invalid -inf;
-    # an entry is selected iff its rank among its class is < num_selected.
-    def pick(mask, count, key):
+    # Random priorities: class members get uniform keys, others -1; the
+    # selected subset is the top-`count` priorities, found with a capped
+    # top-k (count <= cap always) instead of a full rank sort — this is
+    # the anchor axis (~1e6), a full argsort costs ~15 ms on v5e.
+    def pick(mask, count, cap, key):
+        cap = min(cap, n)
+        if cap <= 0:
+            return jnp.zeros(n, bool)
         pri = jnp.where(mask, jax.random.uniform(key, (n,)), -1.0)
-        order = jnp.argsort(-pri)
-        rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-        return mask & (rank < count)
+        vals, idx = exact_top_k(pri, cap)
+        sel = (jnp.arange(cap) < count) & (vals >= 0.0)
+        return jnp.zeros(n, bool).at[idx].set(sel)
 
-    return pick(is_pos, num_pos, k1), pick(is_neg, num_neg, k2)
+    return (
+        pick(is_pos, num_pos, max_pos, k1),
+        pick(is_neg, num_neg, num_samples, k2),
+    )
