@@ -190,12 +190,71 @@ def _pairwise_iou_upper_bound(
     return bound / denom
 
 
+def _blockwise_bound_reduce(
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    anchors: jnp.ndarray,
+    thr: jnp.ndarray = None,
+    block: int = 32,
+) -> jnp.ndarray:
+    """Reduce the (G, A) IoU-bound matrix over G without materializing it.
+
+    A (256, 1e6) f32 bound map is ~1 GB; the matcher only consumes
+    per-anchor reductions of it, so gt rows are processed in blocks of
+    ``block`` under ``lax.scan`` (peak (block, A) live).
+
+    Returns ``max_g ub(g, a)`` (A,) — or, with ``thr`` (G,),
+    ``any_g(ub(g, a) >= thr_g)`` (A,) for the low-quality rescue round.
+    """
+    g = gt_boxes.shape[0]
+    if g <= block:
+        ub = _pairwise_iou_upper_bound(gt_boxes, anchors) * gt_valid[:, None]
+        if thr is None:
+            return jnp.max(ub, axis=0)
+        return jnp.any(ub >= thr[:, None], axis=0)
+    pad = (-g) % block
+    gt_blocks = jnp.pad(gt_boxes, ((0, pad), (0, 0))).reshape(-1, block, 5)
+    gv_blocks = jnp.pad(gt_valid, (0, pad)).reshape(-1, block)
+    if thr is not None:
+        thr_blocks = jnp.pad(
+            thr, (0, pad), constant_values=jnp.inf
+        ).reshape(-1, block)
+
+        def body_any(carry, xs):
+            gt_b, gv_b, th_b = xs
+            ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
+            return carry | jnp.any(ub >= th_b[:, None], axis=0), None
+
+        out, _ = jax.lax.scan(
+            body_any,
+            jnp.zeros((anchors.shape[0],), bool),
+            (gt_blocks, gv_blocks, thr_blocks),
+        )
+        return out
+
+    def body_max(carry, xs):
+        gt_b, gv_b = xs
+        ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
+        return jnp.maximum(carry, jnp.max(ub, axis=0)), None
+
+    out, _ = jax.lax.scan(
+        body_max,
+        jnp.zeros((anchors.shape[0],), jnp.float32),
+        (gt_blocks, gv_blocks),
+    )
+    return out
+
+
 def _compact_flags(flags: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Flagged indices -> first ``cap`` of them, in index order (no sort).
 
     flags: (N,) bool.  Returns (idx (cap,), valid (cap,)).  Overflow beyond
     ``cap`` is dropped (lowest indices kept).
     """
+    # Measured at n=1e6, cap=16384 on v5e: this cumsum+scatter 7.7 ms;
+    # flatnonzero(size=cap) 12 ms; blocked two-level binary search 6.2 ms
+    # (not worth the complexity); jnp.searchsorted over the prefix sums
+    # 40 ms (pathological lowering).
     n = flags.shape[0]
     pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
     tgt = jnp.where(flags & (pos < cap), pos, cap)
@@ -245,19 +304,21 @@ def rpn_label_anchors(
     lo, hi = thresholds
     assert g <= 1024, "packed argmax keys support up to 1024 gt rows"
 
-    ub = _pairwise_iou_upper_bound(gt_boxes, anchors) * gt_valid[:, None]
-
     # Round 1: anchors whose bound reaches `lo` (all others are exact bg).
     # 1e-4 margin absorbs f32 rounding of the bound itself.
-    flags1 = jnp.max(ub, axis=0) >= lo - 1e-4
+    flags1 = (
+        _blockwise_bound_reduce(gt_boxes, gt_valid, anchors) >= lo - 1e-4
+    )
     idx1, val1 = _compact_flags(flags1, k)
     iou1 = pairwise_iou_rotated(gt_boxes, anchors[idx1])
     iou1 = iou1 * gt_valid[:, None] * val1[None, :]
     best1 = jnp.max(iou1, axis=1)  # (G,) lower bound of each gt's true best
 
     # Round 2: every anchor that could still beat a gt's round-1 best.
-    thr = jnp.maximum(best1 - 1e-4, 1e-4)[:, None]
-    flags2 = jnp.any(ub >= thr, axis=0) & ~flags1
+    thr = jnp.maximum(best1 - 1e-4, 1e-4)
+    flags2 = (
+        _blockwise_bound_reduce(gt_boxes, gt_valid, anchors, thr=thr) & ~flags1
+    )
     idx2, val2 = _compact_flags(flags2, max(k // 4, 1))
     iou2 = pairwise_iou_rotated(gt_boxes, anchors[idx2])
     iou2 = iou2 * gt_valid[:, None] * val2[None, :]
