@@ -105,6 +105,10 @@ class GlassArch:
     gc_headers: int = 8
     pooler_pad: str = ""  # "" | "FeatPadV2"
     recognizer_backbone: str = "CNN_V1_1"
+    # "ASTER" / "ASTER_V2" (attentional GRU) or "CTC" (per-timestep linear
+    # head over the encoder sequence + CTC loss — an extension; the
+    # reference ships ctc *decode* only, text_encoder.py:153-178)
+    recognizer_decoder: str = "ASTER_V2"
     local_extractor_name: str = "ResNetFeatureExtractor"
     fusion_name: str = "MultiAspectGCAttention"
     fusion_type: str = "channel_add"
@@ -176,10 +180,13 @@ class GlassArch:
             pool_bulk_sampling_ratio=cfg.TPU.POOL_BULK_SAMPLING_RATIO,
             pool_large_roi_budget=cfg.TPU.POOL_LARGE_ROI_BUDGET,
             max_word_len=rec.MAX_WORD_LENGTH,
-            vocab_size=len(rec.CHARACTER_SET) + 2,
+            # attention adds [GO],[s]; ctc adds [blank] (text/codec.py)
+            vocab_size=len(rec.CHARACTER_SET)
+            + (2 if rec.LABELS_TYPE == "attention" else 1),
             gc_headers=cfg.MODEL.HYBRID_FUSION.HEADERS,
             pooler_pad=rec.RECOGNIZER_HEAD.POOLER_PAD.NAME,
             recognizer_backbone=rec.RECOGNIZER_HEAD.BACKBONE.NAME,
+            recognizer_decoder=rec.RECOGNIZER_HEAD.DECODER.NAME,
             local_extractor_name=cfg.MODEL.LOCAL_FEATURE_EXTRACTOR.NAME,
             fusion_name=cfg.MODEL.HYBRID_FUSION.NAME,
             fusion_type=cfg.MODEL.HYBRID_FUSION.FUSION_TYPE,
@@ -224,7 +231,8 @@ def init_glass_params(key, arch: GlassArch) -> dict:
             inplanes=512, headers=arch.gc_headers,
         )
         params["roi_heads"]["recognizer_head"] = init_recognizer(
-            ks[8], channels=256, vocab=arch.vocab_size
+            ks[8], channels=256, vocab=arch.vocab_size,
+            decoder=arch.recognizer_decoder,
         )
     if arch.mask_on:
         params["roi_heads"]["mask_head"] = init_mask_head(
@@ -434,6 +442,13 @@ def recognize_single_image(
     enc = recognizer_layers_apply(
         ctx, rh["recognizer_head"], x, arch.recognizer_backbone
     )
+    if arch.recognizer_decoder == "CTC":
+        from .recognizer import ctc_logits
+
+        return jax.nn.softmax(
+            ctc_logits(rh["recognizer_head"]["decoder"], enc.astype(jnp.float32)),
+            axis=-1,
+        )  # (D, T=32, V); codec._decode_ctc collapses repeats/blanks
     return aster_decode_greedy(
         rh["recognizer_head"]["decoder"], enc.astype(jnp.float32), arch.max_word_len + 1
     )

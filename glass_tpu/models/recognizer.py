@@ -229,12 +229,23 @@ def recognizer_inference(
     return aster_decode_greedy(params["decoder"], enc, max_word_len + 1)
 
 
+def ctc_logits(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """CTC head: encoder states (N, T, C) -> per-timestep logits (N, T, V).
+
+    An extension beyond the reference (which ships only ctc *decode*,
+    ``text_encoder.py:153-178``, with no training head): a single linear
+    projection of every encoder step; blank is codec index 0.
+    """
+    return L.linear(x, params["fc"]["weight"], params["fc"]["bias"])
+
+
 def init_recognizer(
     key,
     channels: int = 256,
     vocab: int = 97,
     norm: str = "BN",
     num_encoder_layers: int = 2,
+    decoder: str = "ASTER_V2",
 ) -> dict:
     ks = jax.random.split(key, 16)
     att_dim = channels
@@ -262,23 +273,26 @@ def init_recognizer(
             "linear": lin(ks[4 + i], 2 * channels, channels, std=0.01),
         }
 
-    decoder = {
-        "attention_unit": {
-            "sEmbed": lin(ks[6], channels, att_dim),
-            "xEmbed": lin(ks[7], channels, att_dim),
-            "wEmbed": lin(ks[8], att_dim, 1),
-        },
-        "tgt_embedding": {
-            "weight": jax.random.normal(ks[9], (vocab, att_dim), jnp.float32)
-        },
-        "gru": L.init_gru(ks[10], channels + att_dim, channels),
-        "fc": lin(ks[11], channels, vocab),
-    }
+    if decoder == "CTC":
+        decoder_p = {"fc": lin(ks[11], channels, vocab)}
+    else:
+        decoder_p = {
+            "attention_unit": {
+                "sEmbed": lin(ks[6], channels, att_dim),
+                "xEmbed": lin(ks[7], channels, att_dim),
+                "wEmbed": lin(ks[8], att_dim, 1),
+            },
+            "tgt_embedding": {
+                "weight": jax.random.normal(ks[9], (vocab, att_dim), jnp.float32)
+            },
+            "gru": L.init_gru(ks[10], channels + att_dim, channels),
+            "fc": lin(ks[11], channels, vocab),
+        }
     return {
         "backbone": {
             "conv1": conv_norm_p(ks[0], 2, 1, channels, channels),
             "conv2": conv_norm_p(ks[1], 3, 3, channels, channels),
         },
         "encoder": encoder,
-        "decoder": decoder,
+        "decoder": decoder_p,
     }

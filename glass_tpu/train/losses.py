@@ -99,3 +99,26 @@ def decoder_cross_entropy(
     return masked_cross_entropy(
         logits.reshape(-1, logits.shape[-1]), tgt.reshape(-1), mask.reshape(-1)
     )
+
+
+def ctc_loss_masked(
+    logits: jnp.ndarray, targets: jnp.ndarray, word_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """CTC negative log-likelihood averaged over valid words.
+
+    Args:
+        logits: (N, T, V) per-timestep logits (blank = index 0, matching
+            the codec's ctc charset layout).
+        targets: (N, L) encoded labels, 0-padded (no GO/STOP in ctc mode).
+        word_mask: (N,) valid-word mask.
+    """
+    import optax
+
+    logits = logits.astype(jnp.float32)
+    logit_paddings = jnp.zeros(logits.shape[:2], jnp.float32)
+    label_paddings = (targets == 0).astype(jnp.float32)
+    per_word = optax.ctc_loss(
+        logits, logit_paddings, targets.astype(jnp.int32), label_paddings
+    )
+    w = word_mask.astype(jnp.float32)
+    return jnp.sum(per_word * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -354,7 +354,10 @@ def glass_train_forward(
     if arch.recognizer_on:
         gt_text_per = take(batch["gt_text"], sel_gt_idx)  # (B, R, T+2)
         word_len = jnp.sum(gt_text_per > 0, axis=-1)
-        word_ok = fg_mask & (jnp.sum(gt_text_per, axis=-1) > 1)
+        # empty/ignored words encode to [GO][s] (token sum 1) in attention
+        # mode, all zeros in ctc mode — exclude them either way
+        empty_sum = 1 if arch.recognizer_decoder != "CTC" else 0
+        word_ok = fg_mask & (jnp.sum(gt_text_per, axis=-1) > empty_sum)
 
         w_cap = tcfg.words_per_image
         wkeys = jax.random.split(keys[2], b)
@@ -416,18 +419,32 @@ def glass_train_forward(
             ctx, params["roi_heads"]["recognizer_head"], fused_words,
             arch.recognizer_backbone,
         )
-        word_logits = aster_decode_train(
-            params["roi_heads"]["recognizer_head"]["decoder"],
-            enc.astype(jnp.float32),
-            word_text.reshape(b * w, -1),
-            arch.max_word_len + 1,
-        )
-        losses["loss_decoder"] = (
-            LS.decoder_cross_entropy(
-                word_logits, word_text.reshape(b * w, -1), w_valid.reshape(-1)
+        if arch.recognizer_decoder == "CTC":
+            from ..models.recognizer import ctc_logits
+
+            word_logits = ctc_logits(
+                params["roi_heads"]["recognizer_head"]["decoder"],
+                enc.astype(jnp.float32),
             )
-            * tcfg.recognizer_loss_weight
-        )
+            losses["loss_decoder"] = (
+                LS.ctc_loss_masked(
+                    word_logits, word_text.reshape(b * w, -1), w_valid.reshape(-1)
+                )
+                * tcfg.recognizer_loss_weight
+            )
+        else:
+            word_logits = aster_decode_train(
+                params["roi_heads"]["recognizer_head"]["decoder"],
+                enc.astype(jnp.float32),
+                word_text.reshape(b * w, -1),
+                arch.max_word_len + 1,
+            )
+            losses["loss_decoder"] = (
+                LS.decoder_cross_entropy(
+                    word_logits, word_text.reshape(b * w, -1), w_valid.reshape(-1)
+                )
+                * tcfg.recognizer_loss_weight
+            )
 
     # ---- mask branch ---------------------------------------------------
     if arch.mask_on and "gt_polygons" in batch:
