@@ -103,6 +103,22 @@ def _walk_rename(tree):
     roi = tree.get("roi_heads", {})
     if "recognizer_head" in roi:
         roi["recognizer_head"] = fix_recognizer_head(roi["recognizer_head"])
+
+    # Legacy RecognizerROIHeadsV2 checkpoints (reference
+    # recognizers_roi_heads_v2.py:55-96, recognizer_head_v2.py:176-205)
+    # register the recognizer AS the "mask head": parameters live at
+    # roi_heads.mask_head.{backbone,encoder,decoder}. Remap onto
+    # recognizer_head (that layout has no conv mask head; a real
+    # MaskRCNN head — mask_fcn*/deconv/predictor — has neither an
+    # encoder nor a decoder child and is left untouched).
+    mh = roi.get("mask_head")
+    if (
+        isinstance(mh, dict)
+        and "recognizer_head" not in roi
+        and "backbone" in mh
+        and ("encoder" in mh or "decoder" in mh)
+    ):
+        roi["recognizer_head"] = fix_recognizer_head(roi.pop("mask_head"))
     return tree
 
 

@@ -84,3 +84,46 @@ def test_converter_roundtrip_structure():
     for k in flat:
         assert got[k].shape == flat[k].shape, (k, got[k].shape, flat[k].shape)
         np.testing.assert_allclose(got[k], flat[k], atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_converter_legacy_v2_mask_head_naming():
+    """Legacy RecognizerROIHeadsV2 checkpoints name the recognizer as the
+    'mask head' (reference recognizers_roi_heads_v2.py:55-96: the
+    ROI_MASK_HEAD registry builds RecognizerRCNNHeadV2, so parameters are
+    roi_heads.mask_head.{backbone,encoder,decoder}). The converter must
+    remap them onto recognizer_head."""
+    arch = GlassArch(mask_on=False)
+    params = init_glass_params(jax.random.PRNGKey(2), arch)
+    flat = _flatten(params)
+
+    state = {}
+    for path, v in flat.items():
+        name, tv = _torchify_name_and_value(path, v)
+        name = name.replace("roi_heads.recognizer_head.", "roi_heads.mask_head.")
+        state[name] = tv
+
+    tree = _walk_rename(convert_torch_state_dict(state))
+    got = _flatten(tree)
+
+    missing = sorted(set(flat) - set(got))
+    extra = sorted(set(got) - set(flat))
+    assert not missing, f"legacy remap missing {len(missing)}, e.g. {missing[:5]}"
+    assert not extra, f"legacy remap extra {len(extra)}, e.g. {extra[:5]}"
+    for k in flat:
+        np.testing.assert_allclose(got[k], flat[k], atol=1e-6, err_msg=k)
+
+
+def test_real_conv_mask_head_not_remapped():
+    """A real MaskRCNN conv mask head (mask_fcn*/deconv/predictor) must NOT
+    be mistaken for a legacy recognizer layout."""
+    state = {
+        "roi_heads.mask_head.mask_fcn1.weight": np.zeros((8, 4, 3, 3), np.float32),
+        "roi_heads.mask_head.mask_fcn1.bias": np.zeros((8,), np.float32),
+        "roi_heads.mask_head.deconv.weight": np.zeros((8, 8, 2, 2), np.float32),
+        "roi_heads.mask_head.predictor.weight": np.zeros((1, 8, 1, 1), np.float32),
+        "roi_heads.mask_head.predictor.bias": np.zeros((1,), np.float32),
+    }
+    tree = _walk_rename(convert_torch_state_dict(state))
+    assert "mask_head" in tree["roi_heads"]
+    assert "recognizer_head" not in tree["roi_heads"]
