@@ -225,7 +225,42 @@ class TextEvaluator:
                 gts.append(EvalInstance(points=pts, transcription=text))
             self._gts[image_key] = gts
 
+    def gather_across_processes(self):
+        """Merge per-process results on multi-host meshes.
+
+        The reference gathers predictions to rank 0 over NCCL/gloo
+        (``text_evaluator.py:246-252``); here every process allgathers the
+        pickled (dets, gts) dicts over the jax distributed runtime, so each
+        host computes identical metrics (callers shard the test set with
+        ``records[process_index()::process_count()]``). No-op single-host.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        import pickle
+
+        from jax.experimental import multihost_utils
+
+        payload = np.frombuffer(
+            pickle.dumps((self._dets, self._gts)), np.uint8
+        )
+        sizes = multihost_utils.process_allgather(
+            np.array([payload.size], np.int64)
+        ).reshape(-1)
+        padded = np.zeros(int(sizes.max()), np.uint8)
+        padded[: payload.size] = payload
+        gathered = multihost_utils.process_allgather(padded)
+        me = jax.process_index()
+        for p in range(gathered.shape[0]):
+            if p == me:
+                continue
+            dets, gts = pickle.loads(gathered[p, : int(sizes[p])].tobytes())
+            self._dets.update(dets)
+            self._gts.update(gts)
+
     def evaluate(self) -> Dict[str, Dict[str, float]]:
+        self.gather_across_processes()
         gts = self._gt_from_zip if self._gt_from_zip is not None else self._gts
         if self._gt_from_zip is not None:
             # Only evaluate keys present in gt (official behaviour).

@@ -146,6 +146,10 @@ class Trainer:
             records = DatasetManager.load(name)
             if max_images:
                 records = records[:max_images]
+            # multi-host: each process evaluates a strided shard; results
+            # are allgathered inside TextEvaluator.evaluate()
+            if jax.process_count() > 1:
+                records = records[jax.process_index() :: jax.process_count()]
             evaluator = TextEvaluator(name, self.cfg)
             shown = 0
             for i, record in enumerate(records):

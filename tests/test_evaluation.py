@@ -103,3 +103,29 @@ def test_weighted_edit_distance_mts_costs():
     assert weighted_edit_distance("abc", "ABC", scores, enc) == 0.0
     d2 = weighted_edit_distance("abc", "DBC", scores, enc)
     assert 0.5 < d2 <= 1.0
+
+
+def test_eval_instance_gather_payload_roundtrip():
+    """The multi-host gather (TextEvaluator.gather_across_processes)
+    serializes the (dets, gts) dicts with pickle over uint8 buffers; the
+    EvalInstance payload must survive that roundtrip and dict-merge."""
+    import pickle
+
+    from glass_tpu.evaluation.evaluator import EvalInstance
+
+    dets_a = {
+        "1": [EvalInstance(points=np.array([[0.0, 0], [1, 0], [1, 1], [0, 1]]),
+                           transcription="word", confidence=0.9)],
+    }
+    dets_b = {
+        "2": [EvalInstance(points=np.array([[2.0, 2], [3, 2], [3, 3], [2, 3]]),
+                           transcription="other", confidence=0.5)],
+    }
+    payload = np.frombuffer(pickle.dumps((dets_b, {})), np.uint8)
+    padded = np.zeros(payload.size + 13, np.uint8)
+    padded[: payload.size] = payload
+    back, _ = pickle.loads(padded[: payload.size].tobytes())
+    dets_a.update(back)
+    assert set(dets_a) == {"1", "2"}
+    assert dets_a["2"][0].transcription == "other"
+    np.testing.assert_allclose(dets_a["2"][0].points[2], [3, 3])

@@ -106,6 +106,12 @@ def main():
         records = DatasetManager.load(dataset_name)
         if args.max_images:
             records = records[: args.max_images]
+        # multi-host: strided shard per process; TextEvaluator.evaluate()
+        # allgathers results so every host reports identical metrics
+        import jax
+
+        if jax.process_count() > 1:
+            records = records[jax.process_index() :: jax.process_count()]
         gt_zip = args.gt_zip
         if not gt_zip:
             # Configured gt archives (DATASETS.EVAL_GT_ZIPS.*) by name match.
