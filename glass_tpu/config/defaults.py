@@ -466,6 +466,11 @@ def get_default_config() -> CN:
     # number of anchors whose IoU upper bound clears the ignore threshold
     # stays within the pool.
     _C.TPU.MATCH_POOL = 16384
+    # Single-process SPMD serving: shard eval batches over all local
+    # devices (inference/runner.py::dispatch_batch). One program drives
+    # the serving pod — the TPU answer to the reference's
+    # one-process-per-GPU launch().
+    _C.TPU.SERVE_DATA_PARALLEL = False
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     # Raw-image crop pooler sampling grid (static!). The reference uses a
     # fixed 2x2 grid per output bin; at 128x128 output the bins of typical

@@ -87,6 +87,24 @@ class GlassRunner:
         )
         self._jit_given_boxes = None
         self._jit_batch_fns = {}
+        # Single-process SPMD serving: shard the eval batch over all local
+        # devices (TPU.SERVE_DATA_PARALLEL). The reference serves one
+        # process per GPU via d2 launch(); here one program drives a
+        # local-device mesh, params replicated, batch dim sharded.
+        self._serve_mesh = None
+        if (
+            getattr(self.cfg.TPU, "SERVE_DATA_PARALLEL", False)
+            and len(jax.local_devices()) > 1
+        ):
+            from jax.sharding import Mesh
+
+            self._serve_mesh = Mesh(
+                np.array(jax.local_devices()), ("data",)
+            )
+            logger.info(
+                "data-parallel serving over %d local devices",
+                len(jax.local_devices()),
+            )
         # GlassRCNN._postprocess knobs (reference glass_rcnn.py:35-55).
         pp = self.cfg.POST_PROCESSING
         self.filter_small_boxes = pp.MIN_BOX_DIMENSION
@@ -195,27 +213,42 @@ class GlassRunner:
         bh = max(self._pick_bucket(*im.shape[:2])[0] for im in images)
         bw = max(self._pick_bucket(*im.shape[:2])[1] for im in images)
         b = len(images)
+        # sharded serving: round the batch up to a multiple of the mesh
+        # size (padded rows are zero images -> zero valid detections)
+        ndev = self._serve_mesh.devices.size if self._serve_mesh else 1
+        bp = b + (-b) % ndev
         dtype = (
             np.uint8 if all(im.dtype == np.uint8 for im in images) else np.float32
         )
-        padded = np.zeros((b, bh, bw, 3), dtype)
-        hws = np.zeros((b, 2), np.int32)
+        padded = np.zeros((bp, bh, bw, 3), dtype)
+        hws = np.zeros((bp, 2), np.int32)
         for i, im in enumerate(images):
             h, w = im.shape[:2]
             padded[i, :h, :w] = im
             hws[i] = (h, w)
+        hws[b:] = 1  # degenerate 1x1 content for padded rows
 
-        key = (b, bh, bw, padded.dtype.str)
+        key = (bp, bh, bw, padded.dtype.str)
         if key not in self._jit_batch_fns:
             arch = self.arch
-            self._jit_batch_fns[key] = jax.jit(
-                jax.vmap(
-                    lambda p, img, hw: glass_inference_single(arch, p, img, hw),
-                    in_axes=(None, 0, 0),
-                )
+            vmapped = jax.vmap(
+                lambda p, img, hw: glass_inference_single(arch, p, img, hw),
+                in_axes=(None, 0, 0),
             )
+            if self._serve_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch_sh = NamedSharding(self._serve_mesh, PartitionSpec("data"))
+                repl = NamedSharding(self._serve_mesh, PartitionSpec())
+                self._jit_batch_fns[key] = jax.jit(
+                    vmapped,
+                    in_shardings=(repl, batch_sh, batch_sh),
+                    out_shardings=batch_sh,
+                )
+            else:
+                self._jit_batch_fns[key] = jax.jit(vmapped)
         out = self._jit_batch_fns[key](self.params, jnp.asarray(padded), jnp.asarray(hws))
-        return out, hws
+        return out, hws[:b]
 
     def run_batch_on_resized(self, images: List[np.ndarray]) -> List[Instances]:
         """Batched inference over same-bucket resized images (one vmapped

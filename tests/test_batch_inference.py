@@ -81,3 +81,82 @@ def test_eval_batch_call_pipelined_uint8():
         if len(r):
             assert r.has("pred_text_ids") and r.has("pred_text_step_scores")
             assert np.isfinite(np.asarray(r.pred_boxes)).all()
+
+
+def test_serve_data_parallel_matches_single_device():
+    """TPU.SERVE_DATA_PARALLEL shards the eval batch over the (virtual
+    8-CPU) local-device mesh; results must match the unsharded vmapped
+    path, including batch sizes that don't divide the mesh (padding)."""
+    import jax
+
+    assert len(jax.local_devices()) == 8  # conftest virtual mesh
+
+    def make_cfg():
+        cfg = get_cfg(
+            os.path.join(os.path.dirname(__file__), "..", "configs",
+                         "glass_finetune_icdar15.yaml")
+        )
+        cfg.INPUT.MIN_SIZE_TEST = 64
+        cfg.INPUT.MAX_SIZE_TEST = 96
+        cfg.TPU.IMAGE_BUCKETS = [[96, 96]]
+        cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_WORD_LENGTH = 4
+        cfg.TEST.DETECTIONS_PER_IMAGE = 8
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+        cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+        return cfg
+
+    cfg = make_cfg()
+    runner = GlassRunner(model_path=None, cfg=cfg)
+    # Random init yields near-tied detection scores; NMS tie-breaking then
+    # differs between compilations from float rounding alone. Amplify the
+    # cls head so score separation dominates rounding noise and both
+    # programs select the same detections.
+    import jax.numpy as jnp
+
+    runner.params["roi_heads"]["box_predictor"]["cls_score"]["weight"] = (
+        runner.params["roi_heads"]["box_predictor"]["cls_score"]["weight"] * 50.0
+    )
+    # Zero box regression: random-init deltas blow boxes up to the clip
+    # limit, making every detection an identical degenerate rectangle
+    # (ties again). With zero deltas, boxes = the (diverse) proposals.
+    runner.params["roi_heads"]["box_predictor"]["bbox_pred"]["weight"] = (
+        runner.params["roi_heads"]["box_predictor"]["bbox_pred"]["weight"] * 0.0
+    )
+    # Same for the RPN: random-init deltas explode every proposal to the
+    # decode clamp (identical degenerate boxes); zero deltas make
+    # proposals = anchors (diverse), amplified objectness breaks ties.
+    rpn = runner.params["proposal_generator"]["rpn_head"]
+    rpn["anchor_deltas"]["weight"] = rpn["anchor_deltas"]["weight"] * 0.0
+    rpn["anchor_deltas"]["bias"] = rpn["anchor_deltas"]["bias"] * 0.0
+    rpn["objectness_logits"]["weight"] = rpn["objectness_logits"]["weight"] * 50.0
+
+    cfg_dp = make_cfg()
+    cfg_dp.TPU.SERVE_DATA_PARALLEL = True
+    runner_dp = GlassRunner(model_path=None, cfg=cfg_dp, params=runner.params)
+    assert runner_dp._serve_mesh is not None
+
+    rng = np.random.RandomState(1)
+    # 3 images: not a multiple of 8 -> exercises mesh padding
+    images = [(rng.rand(96, 96, 3) * 255).astype(np.uint8) for _ in range(3)]
+
+    # The sharded (b=8 split over devices) and unsharded (b=3) programs are
+    # different XLA compilations; float rounding differs, and at random
+    # init many anchors score within rounding of each other, so exact
+    # NMS selections can legitimately differ. The stable contract: the
+    # outputs really are mesh-sharded, per-image detection counts match,
+    # and the score distributions agree.
+    dev_out, hws = runner_dp.dispatch_batch(images)
+    assert "data" in str(dev_out["boxes"].sharding), dev_out["boxes"].sharding
+    assert dev_out["boxes"].shape[0] == 8  # padded to the mesh size
+    assert len(hws) == 3
+
+    ref = runner.run_batch_on_resized(images)
+    got = runner_dp.run_batch_on_resized(images)
+    assert len(got) == len(ref) == 3
+    for r, g in zip(ref, got):
+        assert len(r) == len(g)
+        if len(r):
+            np.testing.assert_allclose(
+                np.sort(np.asarray(r.scores)), np.sort(np.asarray(g.scores)),
+                atol=2e-3,
+            )
