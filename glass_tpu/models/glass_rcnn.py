@@ -305,7 +305,10 @@ def rpn_proposals_single(
     post = arch.rpn_post_nms_topk
     return rpn_mod.select_proposals_single_image(
         masked_logits,
-        [d[0].astype(jnp.float32) for d in deltas],
+        # bf16 here on purpose: only the top-k rows are decoded, and
+        # select_proposals casts AFTER its gather — converting all 706k
+        # anchor deltas to f32 first measured 1.15 ms/frame (trace).
+        [d[0] for d in deltas],
         anchors,
         (content_hw[0], content_hw[1]),
         arch.rpn_bbox_weights,

@@ -136,7 +136,8 @@ def select_proposals_single_image(
     for lg, dl, an in zip(logits, deltas, anchors):
         k = min(pre_nms_topk, lg.shape[0])
         scores, idx = exact_top_k(lg, k)
-        boxes = apply_deltas(dl[idx], an[idx], bbox_reg_weights)
+        # decode in f32 regardless of the (possibly bf16) head dtype
+        boxes = apply_deltas(dl[idx].astype(jnp.float32), an[idx], bbox_reg_weights)
         boxes = clip_rotated_boxes(boxes, image_size)
         valid = (
             jnp.isfinite(scores)
