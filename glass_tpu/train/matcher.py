@@ -394,3 +394,43 @@ def subsample_labels(
         pick(is_pos, num_pos, max_pos, k1),
         pick(is_neg, num_neg, num_samples, k2),
     )
+
+
+def subsample_labels_idx(
+    key: jax.Array,
+    labels: jnp.ndarray,
+    num_samples: int,
+    positive_fraction: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Index-set variant of ``subsample_labels``.
+
+    Identical selection (same key splits, same priorities), returned as
+    gathered index sets so callers can compute losses on the ~num_samples
+    sampled anchors directly instead of masking million-element tensors
+    (the full-axis ``get_deltas`` + masked loss measured ~8 ms/step at 1M
+    anchors on v5e).
+
+    Returns (pos_idx (Pcap,), pos_valid, neg_idx (num_samples,), neg_valid).
+    """
+    from ..models.rpn import exact_top_k
+
+    n = labels.shape[0]
+    k1, k2 = jax.random.split(key)
+    is_pos = labels == 1
+    is_neg = labels == 0
+
+    max_pos = int(num_samples * positive_fraction)
+    num_pos = jnp.minimum(jnp.sum(is_pos), max_pos)
+    num_neg = jnp.minimum(jnp.sum(is_neg), num_samples - num_pos)
+
+    def pick(mask, count, cap, key):
+        cap = min(cap, n)
+        if cap <= 0:
+            return jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool)
+        pri = jnp.where(mask, jax.random.uniform(key, (n,)), -1.0)
+        vals, idx = exact_top_k(pri, cap)
+        return idx, (jnp.arange(cap) < count) & (vals >= 0.0)
+
+    pos_idx, pos_val = pick(is_pos, num_pos, max_pos, k1)
+    neg_idx, neg_val = pick(is_neg, num_neg, num_samples, k2)
+    return pos_idx, pos_val, neg_idx, neg_val

@@ -46,7 +46,12 @@ from ..models.fpn import FPN_LEVEL_STRIDES
 from ..ops.boxes import get_deltas, overwrite_orientations_on_boxes
 from ..ops.iou_rotated import pairwise_iou_rotated
 from . import losses as LS
-from .matcher import matcher_assign, rpn_label_anchors, subsample_labels
+from .matcher import (
+    matcher_assign,
+    rpn_label_anchors,
+    subsample_labels,
+    subsample_labels_idx,
+)
 from .targets import mask_targets_for_proposals
 
 
@@ -143,30 +148,46 @@ def rpn_losses(
     """
     b = logits.shape[0]
 
+    # Losses touch only the ~rpn_batch_per_image sampled anchors; gather
+    # their indices and compute deltas/BCE on the sampled set (the full
+    # 1M-anchor get_deltas + masked losses measured ~8 ms/step on v5e).
     def per_image(gt_b, gt_v, key):
         labels, matched_gt = rpn_label_anchors(
             gt_b, gt_v, anchors, k=tcfg.match_topk
         )
-        pos_mask, neg_mask = subsample_labels(
+        pos_idx, pos_val, neg_idx, neg_val = subsample_labels_idx(
             key, labels, tcfg.rpn_batch_per_image, tcfg.rpn_positive_fraction
         )
-        gt_deltas = get_deltas(anchors, matched_gt, arch.rpn_bbox_weights)
-        return labels, pos_mask, neg_mask, gt_deltas
+        gt_d = get_deltas(
+            anchors[pos_idx], matched_gt[pos_idx], arch.rpn_bbox_weights
+        )
+        return pos_idx, pos_val, neg_idx, neg_val, gt_d
 
-    labels, pos_mask, neg_mask, gt_deltas = jax.vmap(per_image)(
+    pos_idx, pos_val, neg_idx, neg_val, gt_d = jax.vmap(per_image)(
         gt_boxes, gt_valid, keys
     )
 
-    valid_mask = pos_mask | neg_mask
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    samp_logits = jnp.concatenate(
+        [take(logits, pos_idx), take(logits, neg_idx)], axis=1
+    )
+    samp_tgt = jnp.concatenate(
+        [
+            jnp.ones(pos_idx.shape, jnp.float32),
+            jnp.zeros(neg_idx.shape, jnp.float32),
+        ],
+        axis=1,
+    )
+    samp_val = jnp.concatenate([pos_val, neg_val], axis=1)
     objectness = LS.masked_bce_with_logits(
-        logits, pos_mask.astype(jnp.float32), valid_mask
-    ) * jnp.sum(valid_mask) / (tcfg.rpn_batch_per_image * b)
+        samp_logits, samp_tgt, samp_val
+    ) * jnp.sum(samp_val) / (tcfg.rpn_batch_per_image * b)
 
     loc = LS.BOX_REG_LOSSES[tcfg.rpn_loss_type](
-        deltas.astype(jnp.float32), gt_deltas, tcfg.rpn_smooth_l1_beta,
-        arch.rpn_bbox_weights,
+        take(deltas, pos_idx).astype(jnp.float32), gt_d,
+        tcfg.rpn_smooth_l1_beta, arch.rpn_bbox_weights,
     )
-    loc = jnp.sum(jnp.where(pos_mask[..., None], loc, 0.0)) / (
+    loc = jnp.sum(jnp.where(pos_val[..., None], loc, 0.0)) / (
         tcfg.rpn_batch_per_image * b
     )
     return {"loss_rpn_cls": objectness, "loss_rpn_loc": loc}
@@ -228,7 +249,9 @@ def glass_train_forward(
         )
     anchors = jnp.concatenate(anchors_l, axis=0)
     logits = jnp.concatenate([l.astype(jnp.float32) for l in logits_l], axis=1)
-    deltas = jnp.concatenate([d.astype(jnp.float32) for d in deltas_l], axis=1)
+    # deltas stay in the head's compute dtype; consumers cast the few
+    # gathered rows they use (sampled loss rows / top-k proposal rows)
+    deltas = jnp.concatenate(deltas_l, axis=1)
 
     losses = rpn_losses(
         arch, tcfg, logits, deltas, anchors,

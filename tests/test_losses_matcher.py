@@ -166,3 +166,17 @@ def test_rpn_label_anchors_gridded_anchors_vs_dense(rng):
             min(abs(mv[i] - 0.3), abs(mv[i] - 0.7)) < 1e-3
         ), f"anchor {i}: got {got[i]} ref {ref[i]} iou {mv[i]}"
     assert len(diff) <= 5
+
+
+def test_subsample_labels_idx_matches_masks(rng):
+    from glass_tpu.train.matcher import subsample_labels, subsample_labels_idx
+
+    key = jax.random.PRNGKey(7)
+    labels = jnp.asarray(rng.choice([-1, 0, 1], size=5000, p=[0.1, 0.85, 0.05]))
+    pos_mask, neg_mask = subsample_labels(key, labels, 64, 0.5)
+    pos_idx, pos_val, neg_idx, neg_val = subsample_labels_idx(key, labels, 64, 0.5)
+
+    got_pos = set(np.asarray(pos_idx)[np.asarray(pos_val)].tolist())
+    got_neg = set(np.asarray(neg_idx)[np.asarray(neg_val)].tolist())
+    assert got_pos == set(np.flatnonzero(np.asarray(pos_mask)).tolist())
+    assert got_neg == set(np.flatnonzero(np.asarray(neg_mask)).tolist())
