@@ -471,6 +471,9 @@ def get_default_config() -> CN:
     # the serving pod — the TPU answer to the reference's
     # one-process-per-GPU launch().
     _C.TPU.SERVE_DATA_PARALLEL = False
+    # Thread-pool width for per-image host post-processing inside
+    # eval_batch_call (numpy releases the GIL). 0 = sequential.
+    _C.TPU.POSTPROCESS_WORKERS = 0
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     # Raw-image crop pooler sampling grid (static!). The reference uses a
     # fixed 2x2 grid per output bin; at 128x128 output the bins of typical

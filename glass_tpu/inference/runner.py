@@ -392,12 +392,27 @@ class GlassRunner:
     def _finish_eval_chunk(self, inflight, prepped, results) -> None:
         idxs, dispatched = inflight
         preds = self.collect_batch(dispatched)
-        for i, pr in zip(idxs, preds):
+
+        def one(i, pr):
             oh, ow = prepped[i][1]
             pr = self._model_postprocess(pr, oh, ow)
             if self.post_process_flag:
                 pr = self.post_processor(pr)
             results[i] = pr
+
+        # Host post-processing (~18 ms/img at the 100-word worst case) is
+        # vectorized numpy, which releases the GIL — a thread pool scales
+        # it across the batch on multi-core serving hosts
+        # (TPU.POSTPROCESS_WORKERS; 0 = sequential).
+        workers = int(getattr(self.cfg.TPU, "POSTPROCESS_WORKERS", 0) or 0)
+        if workers > 1 and len(idxs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(workers, len(idxs))) as ex:
+                list(ex.map(lambda t: one(*t), zip(idxs, preds)))
+        else:
+            for i, pr in zip(idxs, preds):
+                one(i, pr)
 
     def batch_call(self, original_images: List[np.ndarray], batch_size: int = 8) -> List[Instances]:
         """Full-pipeline batched inference: per-image resize rules, grouped

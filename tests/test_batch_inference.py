@@ -160,3 +160,38 @@ def test_serve_data_parallel_matches_single_device():
                 np.sort(np.asarray(r.scores)), np.sort(np.asarray(g.scores)),
                 atol=2e-3,
             )
+
+
+def test_postprocess_workers_match_sequential():
+    """TPU.POSTPROCESS_WORKERS thread-pools per-image host post-processing;
+    results must equal the sequential path exactly (pure numpy on
+    independent images)."""
+    cfg = get_cfg(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "glass_finetune_icdar15.yaml")
+    )
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.TPU.IMAGE_BUCKETS = [[96, 96]]
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_WORD_LENGTH = 4
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+
+    runner = GlassRunner(model_path=None, cfg=cfg)
+    rng = np.random.RandomState(3)
+    images = [(rng.rand(96, 96, 3) * 255).astype(np.uint8) for _ in range(4)]
+
+    seq = runner.eval_batch_call(images, batch_size=4)
+    runner.cfg.TPU.POSTPROCESS_WORKERS = 4
+    par = runner.eval_batch_call(images, batch_size=4)
+    assert len(seq) == len(par) == 4
+    for s, p in zip(seq, par):
+        assert len(s) == len(p)
+        if len(s):
+            np.testing.assert_array_equal(
+                np.asarray(s.pred_boxes), np.asarray(p.pred_boxes)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(s.scores), np.asarray(p.scores)
+            )
