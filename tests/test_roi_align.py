@@ -216,3 +216,36 @@ def test_multilevel_packed_split_matches_monolithic():
         bulk_sampling_ratio=2, large_roi_budget=n,
     )
     np.testing.assert_array_equal(np.asarray(split), np.asarray(mono))
+
+
+def test_packed_bitcast_bf16_matches_unpacked(rng):
+    """bf16 packed-taps gathers bit-pack bf16 pairs into f32 lanes (half
+    the gathered elements); values must match the unpacked 4-gather path
+    within bf16 accumulation noise, including boundary rois."""
+    from glass_tpu.ops.roi_align_rotated import roi_align_rotated
+
+    h, w, c = 80, 100, 4
+    feats = jnp.asarray(rng.randn(h, w, c).astype(np.float32)).astype(jnp.bfloat16)
+    n = 16
+    rois = np.stack(
+        [
+            rng.uniform(-10, w + 10, n),
+            rng.uniform(-10, h + 10, n),
+            rng.uniform(4, 120, n),
+            rng.uniform(3, 40, n),
+            rng.uniform(-180, 180, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    pooled = (8, 16)
+    a = np.asarray(
+        roi_align_rotated(
+            feats, jnp.asarray(rois), pooled, sampling_ratio=1, packed_taps=True
+        )
+    ).astype(np.float32)
+    b = np.asarray(
+        roi_align_rotated(
+            feats, jnp.asarray(rois), pooled, sampling_ratio=1, packed_taps=False
+        )
+    ).astype(np.float32)
+    np.testing.assert_allclose(a, b, atol=0.05, rtol=0.05)
