@@ -5,18 +5,15 @@ patch the reference installs at import, ``glass/modeling/matcher.py:6-83``)
 and ``subsample_labels``.  Everything is expressed over fixed-capacity
 candidate sets with validity masks:
 
-* ``match_rotated``: per-proposal max rotated IoU + threshold labeling,
-  optionally with low-quality matches (each gt's best anchors become
-  foreground regardless of threshold — RPN only),
+* ``matcher_assign``: per-proposal max IoU + threshold labeling on a
+  precomputed quality matrix, optionally with low-quality matches (each
+  gt's best proposals become foreground regardless of threshold),
 * ``rpn_label_anchors``: anchor-scale (~1e6) matching via a provable
   IoU upper bound — ``iou(g,a) <= aabb_inter(g,a) / max(area_g, area_a)``
   — that restricts the exact rotated-IoU computation to a compacted
   candidate pool, with a second pool that exactly rescues each gt's
   best anchor (low-quality matches).  No sort / top-k over the anchor
   axis: candidate selection is threshold + cumsum compaction,
-* ``match_rotated_sparse_topk``: the older per-gt top-K-by-AABB-overlap
-  prefilter (kept as a library op; superseded in the train step by the
-  pooled matcher, which measured ~20x faster at 1M anchors),
 * ``subsample_labels``: randomized balanced fg/bg selection as weight masks.
 """
 
@@ -27,27 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import rbox_to_box
 from ..ops.iou_rotated import pairwise_iou_rotated
-
-
-def _pairwise_aabb_intersection(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
-    """(M,4) x (N,4) XYXY -> (M,N) intersection areas (cheap prefilter)."""
-    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
-    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
-    wh = jnp.clip(rb - lt, 0.0, None)
-    return wh[..., 0] * wh[..., 1]
-
-
-def match_quality_rotated(
-    gt_boxes: jnp.ndarray,
-    gt_valid: jnp.ndarray,
-    proposals: jnp.ndarray,
-    prop_valid: jnp.ndarray,
-) -> jnp.ndarray:
-    """(G,5) x (P,5) -> (G,P) rotated IoU with invalid rows zeroed."""
-    iou = pairwise_iou_rotated(gt_boxes, proposals)
-    return iou * gt_valid[:, None] * prop_valid[None, :]
 
 
 def matcher_assign(
@@ -82,40 +59,6 @@ def matcher_assign(
         match_labels = jnp.where(low_quality, 1, match_labels)
 
     return matched_idx, match_labels
-
-
-def match_rotated_sparse_topk(
-    gt_boxes: jnp.ndarray,
-    gt_valid: jnp.ndarray,
-    anchors: jnp.ndarray,
-    k: int = 512,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sparse rotated IoU for anchor-scale matching.
-
-    For RPN-scale anchor sets (~1e6) the dense G x A rotated-polygon clip is
-    the reference's single most expensive CUDA kernel; anchors outside a
-    gt's axis-aligned envelope provably have zero rotated IoU, and anchors
-    with meaningful IoU rank at the top of the AABB-overlap ordering, so the
-    exact computation is restricted to each gt's top-K anchors by
-    axis-aligned intersection.
-
-    Returns:
-        iou: (G, K) exact rotated IoUs of the candidates.
-        idx: (G, K) anchor indices of the candidates.
-    """
-    g = gt_boxes.shape[0]
-    a = anchors.shape[0]
-    k = min(k, a)
-    gt_aabb = rbox_to_box(gt_boxes)
-    an_aabb = rbox_to_box(anchors)
-    inter = _pairwise_aabb_intersection(gt_aabb, an_aabb)  # (G, A)
-    inter = inter * gt_valid[:, None]
-    top_vals, top_idx = jax.lax.top_k(inter, k)  # (G, K)
-
-    cand = anchors[top_idx.reshape(-1)].reshape(g, k, 5)
-    iou = jax.vmap(lambda gt, c: pairwise_iou_rotated(gt[None], c)[0])(gt_boxes, cand)
-    iou = jnp.where(top_vals > 0, iou, 0.0) * gt_valid[:, None]
-    return iou, top_idx
 
 
 def _pairwise_iou_upper_bound(
