@@ -182,8 +182,13 @@ def build_train_loader(
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def worker():
-        for batch in batch_stream():
-            q.put(batch)
+        try:
+            for batch in batch_stream():
+                q.put(batch)
+        except RuntimeError:
+            # interpreter shutdown while the daemon thread was submitting
+            # mapper futures — benign (the process is exiting)
+            return
 
     th = threading.Thread(target=worker, daemon=True)
     th.start()
