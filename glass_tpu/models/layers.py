@@ -133,7 +133,8 @@ def max_pool2d(
         padding = (padding, padding)
     pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
     # -inf (not finfo.min) so XLA recognizes the max-pool pattern and the
-    # select-and-scatter autodiff rule applies.
+    # select-and-scatter autodiff rule applies. (A shifted-slice max chain
+    # with dense select grads measured WORSE: 115.5 -> 122.8 ms/step.)
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
