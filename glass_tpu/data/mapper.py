@@ -152,14 +152,38 @@ class DatasetMapper:
             img = rgb2grey(img[:, :, ::-1], three_channels=True)
         return img
 
-    def _build_augs(self, h, w) -> List[AffineAug]:
+    def _instance_crop_origin(self, h, w, ch, cw, annos) -> Tuple[int, int]:
+        """Crop origin containing a random gt instance's center.
+
+        Reference semantics (``dataset_mapper.py:89-100`` +
+        d2 ``gen_crop_transform_with_instance``): pick one annotation at
+        random and constrain the window so the instance center lies inside
+        it; uniform crop only when the image has no instances.
+        """
+        if not annos:
+            return (
+                self.rng.randint(0, h - ch + 1),
+                self.rng.randint(0, w - cw + 1),
+            )
+        anno = annos[self.rng.randint(len(annos))]
+        bbox = np.asarray(anno["bbox"], np.float64)
+        cy, cx = float(bbox[1]), float(bbox[0])  # XYWHA center
+        cy, cx = min(max(cy, 0.0), h - 1.0), min(max(cx, 0.0), w - 1.0)
+        min_y = max(int(np.floor(cy)) - ch, 0)
+        min_x = max(int(np.floor(cx)) - cw, 0)
+        max_y = min(max(h - ch, 0), int(np.ceil(cy)))
+        max_x = min(max(w - cw, 0), int(np.ceil(cx)))
+        y0 = self.rng.randint(min_y, max_y + 1) if max_y >= min_y else min_y
+        x0 = self.rng.randint(min_x, max_x + 1) if max_x >= min_x else min_x
+        return y0, x0
+
+    def _build_augs(self, h, w, annos=None) -> List[AffineAug]:
         augs = []
         if self.is_train:
             if self.crop_prob > 0 and self.rng.rand() < self.crop_prob:
                 c = self.crop_rel + self.rng.rand() * (1 - self.crop_rel)
                 ch, cw = int(h * c + 0.5), int(w * c + 0.5)
-                y0 = self.rng.randint(0, h - ch + 1)
-                x0 = self.rng.randint(0, w - cw + 1)
+                y0, x0 = self._instance_crop_origin(h, w, ch, cw, annos or [])
                 augs.append(crop_aug(y0, x0, ch, cw))
                 h, w = ch, cw
             if self.rotation_enabled:
@@ -186,7 +210,7 @@ class DatasetMapper:
     def __call__(self, record: dict) -> dict:
         image = self._read_image(record)
         h, w = image.shape[:2]
-        augs = self._build_augs(h, w)
+        augs = self._build_augs(h, w, record.get("annotations"))
 
         for i, aug in enumerate(augs):
             nearest = self.is_train and isinstance(aug, AffineAug) and aug.scale != (1, 1)

@@ -267,14 +267,26 @@ class TextEvaluator:
             dets = {k: self._dets.get(k, []) for k in gts}
         else:
             dets = self._dets
-        results = evaluate_dataset(gts, dets, self.word_spotting)
+        per_sample: Dict[str, Dict] = {}
+        results = evaluate_dataset(
+            gts, dets, self.word_spotting, per_sample=per_sample
+        )
         logger.info("%s: %s", self.dataset_name, results)
         if self.output_dir:
-            self._write_outputs()
+            self._write_outputs(per_sample)
         return results
 
-    def _write_outputs(self):
+    def _write_outputs(self, per_sample: Optional[Dict[str, Dict]] = None):
         os.makedirs(self.output_dir, exist_ok=True)
+        if per_sample is not None:
+            import json
+
+            ppath = os.path.join(
+                self.output_dir, f"{self.dataset_name}_per_sample.json"
+            )
+            with open(ppath, "w") as f:
+                json.dump(per_sample, f, indent=1, sort_keys=True)
+            logger.info("Wrote per-sample metrics to %s", ppath)
         zpath = os.path.join(self.output_dir, f"{self.dataset_name}_det.zip")
         with zipfile.ZipFile(zpath, "w") as zf:
             for key, dets in self._dets.items():

@@ -19,7 +19,7 @@ with zip-compatible entry points in evaluator.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import Levenshtein
@@ -77,8 +77,40 @@ def transcription_match(
     return trans_gt == trans_det
 
 
+# Character validity for word-spotting dictionary entries
+# (text_eval_script.py:203-221): Latin letter ranges plus hyphen; the
+# explicitly disallowed set is checked first (x/division signs fall inside
+# the Latin-1 supplement range and must still be rejected).
+_NOT_ALLOWED = "×÷·"  # × ÷ ·
+_VALID_CHAR_RANGES = (
+    (ord("a"), ord("z")),
+    (ord("A"), ord("Z")),
+    (0x00C0, 0x01BF),  # À–ƿ
+    (0x01C4, 0x027F),  # Ǆ–ɿ
+    (0x0386, 0x03FF),  # Ά–Ͽ
+    (ord("-"), ord("-")),
+)
+
+
+def _dictionary_chars_valid(transcription: str) -> bool:
+    for char in transcription:
+        if char in _NOT_ALLOWED:
+            return False
+        code = ord(char)
+        if not any(lo <= code <= hi for lo, hi in _VALID_CHAR_RANGES):
+            return False
+    return True
+
+
 def include_in_dictionary(transcription: str) -> bool:
-    """Word-spotting dictionary rule (text_eval_script.include_in_dictionary)."""
+    """Word-spotting dictionary rule (text_eval_script.include_in_dictionary).
+
+    Mirrors ``glass/evaluation/text_eval_script.py:180-221``: strip the
+    ``'s`` suffix and edge hyphens, map special characters to spaces, reject
+    inner spaces and short words, then require every remaining character to
+    be a Latin-range letter or hyphen (digits and non-Latin scripts make the
+    gt don't-care for word spotting).
+    """
     if transcription[-2:] in ("'s", "'S"):
         transcription = transcription[:-2]
     transcription = transcription.strip("-")
@@ -89,7 +121,7 @@ def include_in_dictionary(transcription: str) -> bool:
         return False
     if len(transcription) < MIN_LENGTH_CARE_WORD:
         return False
-    return True
+    return _dictionary_chars_valid(transcription)
 
 
 def include_in_dictionary_transcription(transcription: str) -> str:
@@ -217,15 +249,44 @@ def _prh(matched, gt_care, det_care):
     return {"precision": precision, "recall": recall, "hmean": hmean}
 
 
+def per_sample_detail(totals: EvalTotals) -> Dict[str, object]:
+    """Per-image metric record (reference perSampleMetrics,
+    text_eval_script.py:368-452 — the standard debugging artifact for
+    hmean regressions)."""
+    detail = {
+        "matched": totals.matched,
+        "det_only_matched": totals.det_only_matched,
+        "gt_care": totals.gt_care,
+        "det_care": totals.det_care,
+        "det_only_gt_care": totals.det_only_gt_care,
+        "det_only_det_care": totals.det_only_det_care,
+    }
+    detail["e2e"] = _prh(totals.matched, totals.gt_care, totals.det_care)
+    detail["detection_only"] = _prh(
+        totals.det_only_matched, totals.det_only_gt_care, totals.det_only_det_care
+    )
+    return detail
+
+
 def evaluate_dataset(
     gt_per_image: Dict[str, List[EvalInstance]],
     det_per_image: Dict[str, List[EvalInstance]],
     word_spotting: bool = False,
+    per_sample: Optional[Dict[str, Dict]] = None,
 ) -> Dict[str, Dict[str, float]]:
+    """Protocol totals over all images.
+
+    If ``per_sample`` is given (a dict), it is filled with one
+    :func:`per_sample_detail` record per image key — the protocol totals are
+    unchanged by the extra bookkeeping.
+    """
     totals = EvalTotals()
     for key, gts in gt_per_image.items():
         dets = det_per_image.get(key, [])
-        totals.add(evaluate_image(gts, dets, word_spotting))
+        image_totals = evaluate_image(gts, dets, word_spotting)
+        if per_sample is not None:
+            per_sample[key] = per_sample_detail(image_totals)
+        totals.add(image_totals)
     return {
         "E2E_RESULTS": _prh(totals.matched, totals.gt_care, totals.det_care),
         "DETECTION_ONLY_RESULTS": _prh(

@@ -124,14 +124,20 @@ class Trainer:
 
     # -- periodic evaluation ----------------------------------------------
     def test(self, max_images: Optional[int] = None):
-        """Evaluate the current params on cfg.DATASETS.TEST (rank 0 only).
+        """Evaluate the current params on cfg.DATASETS.TEST.
 
         The reference runs TextEvaluator every TEST.EVAL_PERIOD iterations
         (glass_pretrain.yaml:139); this is the same in-training oracle, and
         also prints a pred-vs-gt transcription sample table (the reference's
         print_text_pred_examples affordance).
+
+        Multi-host: EVERY process must enter this function — each evaluates
+        its strided shard of the test set and the evaluator's
+        ``gather_across_processes`` is a collective allgather (reference
+        gathers to rank 0 over gloo, ``text_evaluator.py:246-252``).  All
+        ranks return identical metrics; only rank 0's EventStorage writes.
         """
-        if jax.process_index() != 0 or not self.cfg.DATASETS.TEST:
+        if not self.cfg.DATASETS.TEST:
             return {}
         import cv2
 

@@ -136,6 +136,34 @@ def test_mapper_and_batcher(tmp_path):
     assert (batch["gt_poly_nv"][batch["gt_valid"]] == 4).all()
 
 
+def test_instance_aware_random_crop(tmp_path):
+    """Crops center on a gt instance (reference dataset_mapper.py:89-100 +
+    d2 gen_crop_transform_with_instance): every cropped sample must keep at
+    least one gt box center inside the crop window."""
+    root = _make_dataset(tmp_path)
+    cfg = get_cfg()
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.NAME = "RecognizerRCNNHeadV3"
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_WORD_LENGTH = 10
+    cfg.INPUT.MIN_SIZE_TRAIN = (96, 128)
+    cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING = "range"
+    cfg.INPUT.MAX_SIZE_TRAIN = 200
+    cfg.INPUT.ROTATION.ENABLED = False
+    cfg.DATASETS.RANDOM_CROP_PROB = 1.0  # crop every sample
+
+    records = load_coco_json(os.path.join(root, "annotations.json"), root, "toy_coco")
+    mapper = DatasetMapper(cfg, is_train=True, rng=np.random.RandomState(7))
+    for trial in range(20):
+        sample = mapper(records[trial % len(records)])
+        h, w = sample["image"].shape[:2]
+        boxes = sample["gt_boxes"]
+        assert len(boxes) > 0
+        inside = (
+            (boxes[:, 0] >= 0) & (boxes[:, 0] <= w)
+            & (boxes[:, 1] >= 0) & (boxes[:, 1] <= h)
+        )
+        assert inside.any(), f"trial {trial}: no gt center survived the crop"
+
+
 def test_threaded_loader_matches_serial_order():
     """DATALOADER.NUM_WORKERS thread pool preserves the serial sample order
     (deterministic resume depends on it)."""

@@ -50,6 +50,40 @@ def test_include_in_dictionary():
     assert not include_in_dictionary("a b")      # inner space after cleanup
 
 
+def test_include_in_dictionary_character_validity():
+    """Latin-range / not-allowed rules (text_eval_script.py:203-221): gts
+    with digits or non-Latin characters become don't-care for word
+    spotting; the reference computes the same expectations."""
+    # digits are NOT in the allowed ranges
+    assert not include_in_dictionary("route66")
+    assert not include_in_dictionary("12345")
+    # multiplication/division signs sit inside the Latin-1 range but are
+    # explicitly disallowed
+    assert not include_in_dictionary("ab×cd")
+    assert not include_in_dictionary("ab÷cd")
+    # accented Latin (range3 À-ƿ) and Greek (range5 Ά-Ͽ) are allowed
+    assert include_in_dictionary("café")
+    assert include_in_dictionary("naïve")
+    assert include_in_dictionary("αβγδ")
+    # hyphen inside the word is allowed (range6)
+    assert include_in_dictionary("drive-in")
+    # CJK / Cyrillic are outside every range
+    assert not include_in_dictionary("日本語テキスト")
+    assert not include_in_dictionary("москва")
+    # the cleanup still runs first: "ab1" -> stripped "'s" etc.
+    assert not include_in_dictionary("big1's")   # digit survives cleanup
+    assert include_in_dictionary("cafe's")       # 's removed, rest valid
+
+
+def test_word_spotting_digit_gt_becomes_dontcare():
+    gts = [EvalInstance(quad(0, 0, 20, 10), "route66")]
+    dets = [EvalInstance(quad(0, 0, 20, 10), "route66")]
+    t = evaluate_image(gts, dets, word_spotting=True)
+    assert t.gt_care == 0          # don't-care under the official protocol
+    assert t.det_care == 0         # det covered by the don't-care gt
+    assert t.det_only_gt_care == 1  # detection-only still counts it
+
+
 def test_evaluate_image_e2e_and_det_only():
     gts = [
         EvalInstance(quad(0, 0, 20, 10), "HELLO"),
