@@ -461,11 +461,23 @@ def get_default_config() -> CN:
     _C.TPU.MAX_DETECTIONS = 100       # capacity of the padded detection set
     _C.TPU.MAX_WORDS = 128            # recognizer batch capacity at inference
     _C.TPU.MAX_GT_INSTANCES = 256     # padded ground-truth capacity (train)
+    # Padded gt-polygon vertex capacity (data/loader.py). Longer polygons
+    # are evenly subsampled before the in-graph mask-target rasterization
+    # (train/targets.py); the reference rasterizes full polygons on the
+    # host (rotated_mask_head.py:269-322).  64 covers curved-text gt
+    # (TotalText-style annotations run ~20-40 vertices).
+    _C.TPU.MAX_POLY_VERTICES = 64
     # Exact-rotated-IoU candidate pool of the RPN anchor matcher
     # (train/matcher.py::rpn_label_anchors); matching is exact while the
     # number of anchors whose IoU upper bound clears the ignore threshold
-    # stays within the pool.
-    _C.TPU.MATCH_POOL = 16384
+    # stays within the pool.  0 = auto-size from MAX_GT_INSTANCES
+    # (matcher.auto_match_pool: ~416 candidates/gt, floor 16384).  The
+    # per-step `matcher_pool_dropped` metric reports overflow either way.
+    _C.TPU.MATCH_POOL = 0
+    # Box/mask pooler kernel backend: "xla" (packed-pyramid gather,
+    # default) or "pallas" (DMA-tile kernel — bit-exact alternative,
+    # measured slower on v5e; see ops/pallas_roi_align.py).
+    _C.TPU.ROI_ALIGN_BACKEND = "xla"
     # Single-process SPMD serving: shard eval batches over all local
     # devices (inference/runner.py::dispatch_batch). One program drives
     # the serving pod — the TPU answer to the reference's

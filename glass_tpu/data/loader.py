@@ -47,7 +47,7 @@ def pad_polygon(points: np.ndarray, k: int) -> np.ndarray:
 class PaddedBatchBuilder:
     def __init__(self, cfg):
         self.max_gt = cfg.TPU.MAX_GT_INSTANCES
-        self.max_poly = 24
+        self.max_poly = int(getattr(cfg.TPU, "MAX_POLY_VERTICES", 64) or 64)
         self.pad_multiple = cfg.TPU.PAD_IMAGE_TO_MULTIPLE
         self.text_len = None  # inferred from first sample
         # Fixed train padding (TPU.TRAIN_PAD_SIZE [H, W]): one static shape

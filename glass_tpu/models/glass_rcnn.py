@@ -120,6 +120,10 @@ class GlassArch:
     # Execution
     compute_dtype: str = "float32"
     remat_backbone: bool = False
+    # Box/mask pooler kernel: "xla" (packed-pyramid gather, default) or
+    # "pallas" (DMA-tile kernel, ops/pallas_roi_align.py — bit-exact,
+    # measured slower on v5e; kept as the selectable alternative backend).
+    roi_align_backend: str = "xla"
     # "topk": emit per-step argmax ids + max probs (12x smaller host fetch;
     # exactly what argmax decoding consumes). "probs": full (T, V)
     # distributions — required by weighted-edit-distance lexicon correction.
@@ -147,6 +151,45 @@ class GlassArch:
                 f"class); got {cfg.MODEL.ROI_HEADS.NUM_CLASSES}. Per-class "
                 "rotated NMS is not implemented."
             )
+        # Decoder/codec consistency (ADVICE r2): with DECODER.NAME=CTC the
+        # codec must be in ctc mode (vocab = charset + [blank]) and vice
+        # versa — a mismatch shifts the vocabulary and silently corrupts
+        # both training targets and decoding.
+        decoder_name = rec.RECOGNIZER_HEAD.DECODER.NAME
+        if cfg.MODEL.RECOGNIZER_ON and (
+            (decoder_name == "CTC") != (rec.LABELS_TYPE == "ctc")
+        ):
+            raise ValueError(
+                "Inconsistent recognizer config: RECOGNIZER_HEAD.DECODER."
+                f"NAME={decoder_name!r} requires LABELS_TYPE="
+                f"{'ctc' if decoder_name == 'CTC' else 'attention'!r}, got "
+                f"LABELS_TYPE={rec.LABELS_TYPE!r} (vocab layouts differ: "
+                "attention adds [GO],[s]; ctc adds [blank])."
+            )
+        # Local-extractor / pooler shape contract (ADVICE r2):
+        # ResNetFeatureExtractorV2 downsamples the crop 4x on both axes, so
+        # the recognizer concat only works when the global pool resolution
+        # equals crop/4 (the default V1 extractor emits crop/16 x crop/4 =
+        # the 8x32 global pool).
+        if cfg.MODEL.RECOGNIZER_ON and (
+            cfg.MODEL.LOCAL_FEATURE_EXTRACTOR.NAME == "ResNetFeatureExtractorV2"
+        ):
+            crop_hw = (
+                rec.POOLER_RESOLUTION_HEIGHT * 16,
+                rec.POOLER_RESOLUTION_WIDTH * 4,
+            )
+            v2_out = (crop_hw[0] // 4, crop_hw[1] // 4)
+            pool_hw = (rec.POOLER_RESOLUTION_HEIGHT, rec.POOLER_RESOLUTION_WIDTH)
+            if v2_out != pool_hw:
+                raise ValueError(
+                    "ResNetFeatureExtractorV2 emits a crop/4 feature map "
+                    f"({v2_out[0]}x{v2_out[1]} from the {crop_hw[0]}x"
+                    f"{crop_hw[1]} crop) but the recognizer concatenates it "
+                    f"with the {pool_hw[0]}x{pool_hw[1]} global pool; set "
+                    "POOLER_RESOLUTION_HEIGHT/WIDTH so crop/4 matches the "
+                    "pool (e.g. the default extractor instead, which emits "
+                    "crop/16 x crop/4)."
+                )
         return cls(
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
@@ -196,6 +239,7 @@ class GlassArch:
             mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            roi_align_backend=cfg.TPU.ROI_ALIGN_BACKEND,
             text_emit=cfg.TPU.TEXT_EMIT,
             mask_fetch_dtype=cfg.TPU.MASK_FETCH_DTYPE,
         )
@@ -331,9 +375,20 @@ def _multilevel_pool(
     Uses the packed-pyramid formulation (each roi gathers only from its
     assigned level) — see ``ops.multilevel_roi_align_rotated_packed``.
     """
+    strides = [FPN_LEVEL_STRIDES[f] for f in in_features]
+    if arch.roi_align_backend == "pallas":
+        from ..ops.roi_align_rotated import multilevel_roi_align_rotated_pallas
+
+        return multilevel_roi_align_rotated_pallas(
+            [feats[f][0] for f in in_features],
+            rois,
+            out_hw,
+            strides,
+            sampling_ratio=sampling_ratio,
+            max_sampling_ratio=arch.pool_max_sampling_ratio,
+        )
     from ..ops.roi_align_rotated import multilevel_roi_align_rotated_packed
 
-    strides = [FPN_LEVEL_STRIDES[f] for f in in_features]
     return multilevel_roi_align_rotated_packed(
         [feats[f][0] for f in in_features],
         rois,

@@ -517,3 +517,44 @@ def multilevel_roi_align_rotated(
     return jnp.take_along_axis(
         stacked, levels[None, :, None, None, None], axis=0
     )[0]
+
+
+def multilevel_roi_align_rotated_pallas(
+    features: list,
+    rois: jnp.ndarray,
+    output_size: tuple,
+    strides: list,
+    sampling_ratio: int = 0,
+    max_sampling_ratio: int = 4,
+) -> jnp.ndarray:
+    """Multi-level pooler on the Pallas DMA-tile kernel
+    (``TPU.ROI_ALIGN_BACKEND: pallas``).
+
+    Alternative backend for the box/mask poolers: bit-exact vs the XLA
+    gather formulation (tested to 1e-7) but measured slower on v5e (the
+    per-roi sequential sampling grid serializes, PERF_NOTES round 1) — the
+    XLA packed-pyramid path stays the default.  Each roi is pooled from
+    every level and selected by the detectron2 level assignment; the
+    Pallas kernel's bounded-tile domain matches the box/mask pooler
+    (FPN-assigned rois span < ~32 feature units).
+    """
+    from .pallas_roi_align import roi_align_rotated_pallas
+
+    min_level = int(strides[0]).bit_length() - 1
+    levels = assign_boxes_to_levels(rois, min_level, min_level + len(features) - 1)
+    pooled = []
+    for f, s in zip(features, strides):
+        pooled.append(
+            roi_align_rotated_pallas(
+                f,
+                rois,
+                output_size,
+                spatial_scale=1.0 / s,
+                sampling_ratio=sampling_ratio,
+                max_sampling_ratio=max_sampling_ratio,
+            )
+        )
+    stacked = jnp.stack(pooled, axis=0)
+    return jnp.take_along_axis(
+        stacked, levels[None, :, None, None, None], axis=0
+    )[0]

@@ -266,6 +266,12 @@ def rpn_label_anchors(
     Returns:
         labels: (A,) in {1 fg, 0 bg, -1 ignore} (low-quality matches applied).
         matched_gt: (A, 5) the gt box each anchor regresses to.
+        diag: dict of scalar overflow counters — ``matcher_pool_dropped``
+            (bound-passing candidates dropped by pool-capacity overflow in
+            rounds 1+2; >0 means matching silently degraded to background
+            for those anchors, raise ``TPU.MATCH_POOL``) and
+            ``matcher_weak_dropped`` (weak gts beyond the low-quality rescue
+            capacity).  Surfaced as training metrics (metrics.json).
     """
     g = gt_boxes.shape[0]
     a = anchors.shape[0]
@@ -277,6 +283,7 @@ def rpn_label_anchors(
     flags1 = (
         _blockwise_bound_reduce(gt_boxes, gt_valid, anchors) >= lo - 1e-4
     )
+    n1 = jnp.sum(flags1.astype(jnp.int32))
     idx1, val1 = _compact_flags(flags1, k)
     iou1 = pairwise_iou_rotated(gt_boxes, anchors[idx1])
     iou1 = iou1 * gt_valid[:, None] * val1[None, :]
@@ -286,11 +293,14 @@ def rpn_label_anchors(
     # Only "weak" gts (best1 < lo) can gain candidates here: for a gt with
     # best1 >= lo, any anchor with ub >= best1 - eps also has
     # ub >= lo - eps and is already in pool 1. Compacting the weak gts
-    # (usually none) shrinks this second bound pass from (G, A) to
-    # (<=32, A) — measured ~8.5 -> ~1.5 ms at G=256, A=1M. Graceful
-    # degradation beyond 32 weak gts (overflow loses only lq rescue).
+    # (usually none) shrinks this second bound pass from (G, A) to a
+    # small row count — measured ~8.5 -> ~1.5 ms at G=256, A=1M.  The cap
+    # scales with g (ADVICE r2: a hard 32 silently lost lq promotion for
+    # overflow gts); overflow is still counted and surfaced.
     weak = (best1 < lo) & gt_valid
-    w_idx, w_val = _compact_flags(weak, min(32, g))
+    weak_cap = min(g, max(32, g // 4))
+    n_weak = jnp.sum(weak.astype(jnp.int32))
+    w_idx, w_val = _compact_flags(weak, weak_cap)
     weak_thr = jnp.maximum(best1[w_idx] - 1e-4, 1e-4)
     flags2 = (
         _blockwise_bound_reduce(
@@ -298,7 +308,17 @@ def rpn_label_anchors(
         )
         & ~flags1
     )
-    idx2, val2 = _compact_flags(flags2, max(k // 4, 1))
+    k2 = max(k // 4, 1)
+    n2 = jnp.sum(flags2.astype(jnp.int32))
+    idx2, val2 = _compact_flags(flags2, k2)
+    diag = {
+        "matcher_pool_dropped": (
+            jnp.maximum(n1 - k, 0) + jnp.maximum(n2 - k2, 0)
+        ).astype(jnp.float32),
+        "matcher_weak_dropped": jnp.maximum(n_weak - weak_cap, 0).astype(
+            jnp.float32
+        ),
+    }
     iou2 = pairwise_iou_rotated(gt_boxes, anchors[idx2])
     iou2 = iou2 * gt_valid[:, None] * val2[None, :]
 
@@ -328,7 +348,22 @@ def rpn_label_anchors(
     labels = jnp.where(lq, 1, labels)
 
     matched_gt = gt_boxes[matched_gt_idx]
-    return labels, matched_gt
+    return labels, matched_gt, diag
+
+
+def auto_match_pool(max_gt: int) -> int:
+    """Default exact-IoU pool capacity for ``TPU.MATCH_POOL = 0`` (auto).
+
+    Calibrated on the measured bound-passing candidate counts at 1024^2 /
+    1.05M anchors (~9.4k at 24 word gts, ~39k at 100 — ~400 per gt):
+    416 anchors/gt with a 16k floor, rounded up to a 2048 multiple.  Capped
+    at 49152 — beyond that the exact-IoU pool pass dominates the train
+    step; the ``matcher_pool_dropped`` metric reports any residual
+    overflow so regimes denser than the cap are visible.
+    """
+    pool = max(16384, 416 * max(int(max_gt), 1))
+    pool = -(-pool // 2048) * 2048
+    return min(pool, 49152)
 
 
 def subsample_labels(

@@ -47,6 +47,7 @@ from ..ops.boxes import get_deltas, overwrite_orientations_on_boxes
 from ..ops.iou_rotated import pairwise_iou_rotated
 from . import losses as LS
 from .matcher import (
+    auto_match_pool,
     matcher_assign,
     rpn_label_anchors,
     subsample_labels,
@@ -107,7 +108,11 @@ class TrainConfig:
                 cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
                 * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION
             ),
-            match_topk=cfg.TPU.MATCH_POOL,
+            match_topk=(
+                cfg.TPU.MATCH_POOL
+                if cfg.TPU.MATCH_POOL > 0
+                else auto_match_pool(cfg.TPU.MAX_GT_INSTANCES)
+            ),
         )
 
 
@@ -152,7 +157,7 @@ def rpn_losses(
     # their indices and compute deltas/BCE on the sampled set (the full
     # 1M-anchor get_deltas + masked losses measured ~8 ms/step on v5e).
     def per_image(gt_b, gt_v, key):
-        labels, matched_gt = rpn_label_anchors(
+        labels, matched_gt, diag = rpn_label_anchors(
             gt_b, gt_v, anchors, k=tcfg.match_topk
         )
         pos_idx, pos_val, neg_idx, neg_val = subsample_labels_idx(
@@ -161,9 +166,9 @@ def rpn_losses(
         gt_d = get_deltas(
             anchors[pos_idx], matched_gt[pos_idx], arch.rpn_bbox_weights
         )
-        return pos_idx, pos_val, neg_idx, neg_val, gt_d
+        return pos_idx, pos_val, neg_idx, neg_val, gt_d, diag
 
-    pos_idx, pos_val, neg_idx, neg_val, gt_d = jax.vmap(per_image)(
+    pos_idx, pos_val, neg_idx, neg_val, gt_d, diag = jax.vmap(per_image)(
         gt_boxes, gt_valid, keys
     )
 
@@ -190,7 +195,11 @@ def rpn_losses(
     loc = jnp.sum(jnp.where(pos_val[..., None], loc, 0.0)) / (
         tcfg.rpn_batch_per_image * b
     )
-    return {"loss_rpn_cls": objectness, "loss_rpn_loc": loc}
+    out = {"loss_rpn_cls": objectness, "loss_rpn_loc": loc}
+    # Matcher overflow diagnostics (not losses — keys without the "loss"
+    # prefix are excluded from the total and surfaced as metrics only).
+    out.update({name: jnp.sum(v) for name, v in diag.items()})
+    return out
 
 
 def glass_train_forward(
@@ -510,5 +519,7 @@ def glass_train_forward(
             * tcfg.mask_loss_weight
         )
 
-    total = sum(losses.values())
+    # Diagnostic entries (matcher_*) ride along in the dict as metrics but
+    # do not contribute to the optimized objective.
+    total = sum(v for k, v in losses.items() if k.startswith("loss"))
     return total, losses, ctx.bn_updates

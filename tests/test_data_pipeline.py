@@ -132,7 +132,7 @@ def test_mapper_and_batcher(tmp_path):
     assert batch["images"].shape[1] % 32 == 0
     assert batch["gt_boxes"].shape == (3, 8, 5)
     assert batch["gt_valid"].sum() == 9
-    assert batch["gt_polygons"].shape[-2:] == (24, 2)
+    assert batch["gt_polygons"].shape[-2:] == (cfg.TPU.MAX_POLY_VERTICES, 2)
     assert (batch["gt_poly_nv"][batch["gt_valid"]] == 4).all()
 
 

@@ -66,3 +66,39 @@ def test_inference_jits(tiny_arch, tiny_params):
     img = jnp.zeros((128, 160, 3), jnp.float32)
     out = fn(tiny_params, img, jnp.array([128, 160], jnp.int32))
     assert out["boxes"].shape == (8, 5)
+
+
+def test_from_config_rejects_decoder_codec_mismatch():
+    """DECODER.NAME=CTC iff LABELS_TYPE=ctc (ADVICE r2: a mismatch shifts
+    the vocabulary layout and silently corrupts targets + decoding)."""
+    from glass_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.MODEL.RECOGNIZER_ON = True
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.NAME = "RecognizerRCNNHeadV3"
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.RECOGNIZER_HEAD.DECODER.NAME = "CTC"
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.LABELS_TYPE = "attention"
+    with pytest.raises(ValueError, match="LABELS_TYPE"):
+        GlassArch.from_config(cfg)
+
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.LABELS_TYPE = "ctc"
+    arch = GlassArch.from_config(cfg)  # consistent pair accepted
+    assert arch.recognizer_decoder == "CTC"
+
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.RECOGNIZER_HEAD.DECODER.NAME = "ASTER_V2"
+    with pytest.raises(ValueError, match="LABELS_TYPE"):
+        GlassArch.from_config(cfg)
+
+
+def test_from_config_rejects_v2_extractor_shape_mismatch():
+    """ResNetFeatureExtractorV2 with the default 8x32 pool must be rejected
+    with a clear message instead of a trace-time shape error (ADVICE r2)."""
+    from glass_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.MODEL.RECOGNIZER_ON = True
+    cfg.MODEL.LOCAL_FEATURE_EXTRACTOR.NAME = "ResNetFeatureExtractorV2"
+    with pytest.raises(ValueError, match="crop/4"):
+        GlassArch.from_config(cfg)
