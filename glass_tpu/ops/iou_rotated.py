@@ -27,17 +27,22 @@ from .boxes import boxes_to_polygons
 _CHUNK = 128
 
 
-def _edges_inside_integral(p, pn, q, qn, eps=0.0):
+def _edges_inside_integral(p, pn, q, qn, eps=0.0, scale=1.0):
     """Sum of ``∮ x dy`` over the parts of P's edges inside Q.
 
-    ``eps > 0`` makes the inside test strict — used for the second sum so
-    boundary segments shared by both rectangles (identical/abutting boxes)
-    are counted exactly once.
+    ``eps`` is a tolerance *relative to the pair's geometric scale*: the
+    band half-width in pixels is ``eps * scale``, applied to cross products
+    that carry px·edge-length units (hence the ``qlen`` factor).  ``eps >
+    0`` makes the inside test strict — used for the second sum so boundary
+    segments shared by both rectangles (identical/abutting boxes) are
+    counted exactly once, at any box scale, while staying just above the
+    recentered-f32 cross-product noise floor (which is also ∝ scale).
 
     Args:
         p, pn: (4, M, 1, 2)-style split coords — here passed as tuples of
             (x, y) arrays with shapes broadcastable to (4, M, N).
         q, qn: the clipping rectangle's edges, (4, 1, N)-broadcastable.
+        scale: (M, N)-broadcastable per-pair size (max vertex radius).
 
     All polygons must have the interior on the positive-cross side of each
     directed edge (the ``boxes_to_polygons`` order).
@@ -54,7 +59,12 @@ def _edges_inside_integral(p, pn, q, qn, eps=0.0):
     # cross(qd_j, s(t) - q_j) >= 0  ->  c0 + t*c1 >= 0.
     qdx = (qnx - qx)[None]  # (1, 4q, 1, N)
     qdy = (qny - qy)[None]
-    c0 = qdx * (py[:, None] - qy[None]) - qdy * (px[:, None] - qx[None]) - eps
+    qlen = jnp.sqrt(qdx * qdx + qdy * qdy)
+    c0 = (
+        qdx * (py[:, None] - qy[None])
+        - qdy * (px[:, None] - qx[None])
+        - (eps * qlen) * scale
+    )
     c1 = qdx * dy[:, None] - qdy * dx[:, None]  # (4p, 4q, M, N)
 
     # Parameter interval [t_lo, t_hi] of the inside part.
@@ -95,14 +105,22 @@ def _intersection_chunk(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     p2nx = jnp.roll(p2x, -1, axis=0)
     p2ny = jnp.roll(p2y, -1, axis=0)
 
-    # Tolerances (cross-product units ~ px^2; geometric effect ~1e-4 px):
-    # the first sum includes its own boundary (negative eps guards float
+    # Boundary-tie tolerance: ±3e-5 of the pair's size (max recentered
+    # vertex radius) — scale-invariant, ~10x above the recentered-f32
+    # cross-product noise (∝ scale^2 * 2^-23 over edge length), and small
+    # enough that the junction trimming it causes stays ≲1e-4 in IoU.
+    # The first sum includes its own boundary (negative eps guards float
     # cancellation on c0 ~ 0), the second excludes it strictly, so shared
     # boundary segments are counted exactly once.
+    r2_1 = jnp.max(p1x * p1x + p1y * p1y, axis=0)  # (M, N)
+    r2_2 = jnp.max(p2x * p2x + p2y * p2y, axis=0)
+    scale = jnp.sqrt(jnp.maximum(jnp.maximum(r2_1, r2_2), 1e-12))
     total = _edges_inside_integral(
-        (p1x, p1y), (p1nx, p1ny), (p2x, p2y), (p2nx, p2ny), eps=-1e-2
+        (p1x, p1y), (p1nx, p1ny), (p2x, p2y), (p2nx, p2ny),
+        eps=-3e-5, scale=scale,
     ) + _edges_inside_integral(
-        (p2x, p2y), (p2nx, p2ny), (p1x, p1y), (p1nx, p1ny), eps=1e-2
+        (p2x, p2y), (p2nx, p2ny), (p1x, p1y), (p1nx, p1ny),
+        eps=3e-5, scale=scale,
     )
     return jnp.abs(total)
 

@@ -235,6 +235,15 @@ class Trainer:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 for k, v in metrics.items():
                     self.storage.put_scalar(k, v)
+                if metrics.get("matcher_pool_dropped", 0.0) > 0:
+                    # Anchor matching silently degrades to background for
+                    # the dropped candidates — make it loud.
+                    logger.warning(
+                        "anchor-match pool overflow: %.0f bound-passing "
+                        "candidates dropped this step; raise TPU.MATCH_POOL "
+                        "or set it to 0 (auto-size from MAX_GT_INSTANCES)",
+                        metrics["matcher_pool_dropped"],
+                    )
                 lr = float(self.schedule(it))
                 dt = time.time() - t0
                 # data_time: wall time blocked on the input pipeline — if
