@@ -80,8 +80,10 @@ def _run():
         return jax.tree_util.tree_map(np.asarray, out)
 
     # ---- model-only single image (round-1 metric, pipelined dispatch) ----
+    # uint8 input: the dtype the eval pipeline actually uploads
+    # (TPU.EVAL_UINT8_TRANSFER) — routes crops through the u8-packed gather.
     h, w = 736, 1280
-    image = jnp.asarray(rng.rand(h, w, 3).astype(np.float32) * 255)
+    image = jnp.asarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
     content_hw = jnp.asarray([720, 1280], np.int32)
     fn = jax.jit(lambda p, im, hw: glass_inference_single(arch, p, im, hw))
     fetch(fn(params, image, content_hw))  # warmup / compile

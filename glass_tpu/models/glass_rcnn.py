@@ -456,10 +456,15 @@ def recognize_single_image(
     feats: Dict[str, jnp.ndarray],
     norm_image: jnp.ndarray,
     boxes: jnp.ndarray,
+    raw_image: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The GLASS fusion hot path (reference call stack 3.4).
 
     norm_image: (H, W, 3) normalized padded image; boxes (D, 5).
+    raw_image: optional (H, W, 3) uint8 original — when given, the raw
+        crops are pooled straight from it with the normalization folded in
+        (half the gather elements of the packed-bf16 path; see
+        ``ops.roi_align_rotated``).
     Returns (D, max_word_len + 1, V) per-step char probabilities.
     """
     rh = params["roi_heads"]
@@ -485,11 +490,22 @@ def recognize_single_image(
         from .pooler_pad import feat_pad_v2_mask
 
         global_feats = feat_pad_v2_mask(global_feats, pad_ratio)
-    crops = roi_align_rotated(
-        norm_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
-        sampling_ratio=arch.img_crop_sampling_ratio,
-        max_sampling_ratio=arch.crop_max_sampling_ratio,
-    )
+    if raw_image is not None and raw_image.dtype == jnp.uint8:
+        crops = roi_align_rotated(
+            raw_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
+            sampling_ratio=arch.img_crop_sampling_ratio,
+            max_sampling_ratio=arch.crop_max_sampling_ratio,
+            normalize=(
+                jnp.asarray(arch.pixel_mean, jnp.float32),
+                jnp.asarray(arch.pixel_std, jnp.float32),
+            ),
+        ).astype(arch.compute_dtype)
+    else:
+        crops = roi_align_rotated(
+            norm_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
+            sampling_ratio=arch.img_crop_sampling_ratio,
+            max_sampling_ratio=arch.crop_max_sampling_ratio,
+        )
     local_feats = local_extractor_forward(
         ctx, rh["hybrid_net"]["ConvNet"], crops, arch.local_extractor_name
     )
@@ -569,7 +585,10 @@ def glass_inference_single(
         "valid": det.valid,
     }
     if arch.recognizer_on:
-        probs = recognize_single_image(ctx, arch, params, feats, norm, det.boxes)
+        probs = recognize_single_image(
+            ctx, arch, params, feats, norm, det.boxes,
+            raw_image=image if image.dtype == jnp.uint8 else None,
+        )
         out.update(_emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
         out["mask_probs"] = mask_single_image(

@@ -52,6 +52,7 @@ def roi_align_rotated(
     max_sampling_ratio: int = 4,
     aligned: bool = True,
     packed_taps: bool | None = None,
+    normalize: tuple | None = None,
 ) -> jnp.ndarray:
     """Pool rotated regions from a feature map.
 
@@ -63,9 +64,16 @@ def roi_align_rotated(
         sampling_ratio: taps per bin side; 0 means adaptive
             (``ceil(roi_extent / pooled_extent)``, capped at
             ``max_sampling_ratio``).
+        normalize: optional ``(mean, std)`` per-channel arrays.  The pooled
+            output is returned as if the *input* had been normalized first:
+            ``sum_k w_k * (raw_k - mean) / std`` — the fold is exact because
+            bilinear weights are affine-compatible, including the
+            out-of-bounds zero-contribution rule (handled via the weight
+            sum).  Main use: pooling directly from the uint8 eval upload.
 
     Returns:
-        (R, pooled_h, pooled_w, C) pooled features.
+        (R, pooled_h, pooled_w, C) pooled features (float32 when the input
+        is uint8, else the input dtype).
     """
     pooled_h, pooled_w = output_size
     height, width, channels = features.shape
@@ -151,6 +159,35 @@ def roi_align_rotated(
 
     if packed_taps is None:
         packed_taps = channels <= 8
+    if features.dtype == jnp.uint8 and packed_taps:
+        # uint8 source (the eval upload): pack the four shifted tap copies
+        # as 4C uint8 = C gathered uint32 words per pixel row — HALF the
+        # elements of the bf16-pair packing below, and the gather cost is
+        # element-count bound (PERF_NOTES round 2).  Bilinear runs in f32
+        # after unpacking (more precise than the bf16 path it replaces).
+        sx = jnp.pad(features[:, 1:], ((0, 0), (0, 1), (0, 0)), mode="edge")
+        sy = jnp.pad(features[1:], ((0, 1), (0, 0), (0, 0)), mode="edge")
+        sxy = jnp.pad(sx[1:], ((0, 1), (0, 0), (0, 0)), mode="edge")
+        packed = jnp.concatenate([features, sx, sy, sxy], axis=-1)
+        words = jax.lax.bitcast_convert_type(
+            packed.reshape(height * width, channels, 4), jnp.uint32
+        )  # (H*W, C)
+        taps = jax.lax.bitcast_convert_type(words[i00], jnp.uint8).reshape(
+            -1, 4 * channels
+        ).astype(jnp.float32)  # (R*S, 4C)
+        ws = [w00, w01, w10, w11]
+        w4 = jnp.stack([w.reshape(-1) for w in ws], axis=-1)  # (R*S, 4) f32
+        expand = jnp.kron(jnp.eye(4), jnp.ones((1, channels))).astype(jnp.float32)
+        collapse = jnp.kron(jnp.ones((4, 1)), jnp.eye(channels)).astype(jnp.float32)
+        acc = (taps * (w4 @ expand)) @ collapse  # (R*S, C) f32
+        if normalize is not None:
+            mean, std = normalize
+            wsum = (w00 + w01 + w10 + w11).reshape(-1, 1)  # (R*S, 1)
+            acc = (acc - wsum * mean.reshape(1, -1)) / std.reshape(1, -1)
+        acc = acc.reshape(r, pooled_h * pooled_w, g * g, channels).sum(axis=2)
+        return acc.reshape(r, pooled_h, pooled_w, channels)
+    if normalize is not None:
+        raise NotImplementedError("normalize fold requires a uint8 input")
     if packed_taps:
         # Small-channel maps (the raw-image crop pooler): pack the four
         # bilinear taps as channel groups of ONE shifted image —

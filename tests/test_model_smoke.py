@@ -102,3 +102,31 @@ def test_from_config_rejects_v2_extractor_shape_mismatch():
     cfg.MODEL.LOCAL_FEATURE_EXTRACTOR.NAME = "ResNetFeatureExtractorV2"
     with pytest.raises(ValueError, match="crop/4"):
         GlassArch.from_config(cfg)
+
+
+def test_inference_uint8_matches_float(tiny_arch, tiny_params):
+    """A uint8 input image (the eval upload dtype) routes the recognizer
+    crops through the u8-packed gather with the normalization folded in;
+    outputs must match the float-image path (f32 compute isolates crop
+    numerics from bf16 rounding)."""
+    import dataclasses
+
+    arch = dataclasses.replace(tiny_arch, compute_dtype="float32")
+    img_u8 = (np.random.RandomState(1).rand(128, 160, 3) * 255).astype(np.uint8)
+    hw = jnp.array([120, 150], jnp.int32)
+    out_u8 = glass_inference_single(arch, tiny_params, jnp.asarray(img_u8), hw)
+    out_f = glass_inference_single(
+        arch, tiny_params, jnp.asarray(img_u8.astype(np.float32)), hw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u8["boxes"]), np.asarray(out_f["boxes"]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u8["scores"]), np.asarray(out_f["scores"]), atol=1e-4
+    )
+    assert out_u8["text_ids"].shape == out_f["text_ids"].shape
+    np.testing.assert_allclose(
+        np.asarray(out_u8["text_step_scores"], np.float32),
+        np.asarray(out_f["text_step_scores"], np.float32),
+        atol=2e-3,
+    )

@@ -249,3 +249,73 @@ def test_packed_bitcast_bf16_matches_unpacked(rng):
         )
     ).astype(np.float32)
     np.testing.assert_allclose(a, b, atol=0.05, rtol=0.05)
+
+
+def test_u8_crop_with_normalize_matches_f32_path(rng):
+    """uint8 crop pooling with the normalization fold (one u32 word per
+    C=3 tap group — half the packed-bf16 elements) must match pooling the
+    f32-normalized image, including out-of-bounds zero-contribution rois
+    (the weight-sum term of the fold)."""
+    from glass_tpu.ops.roi_align_rotated import roi_align_rotated
+
+    h, w = 90, 110
+    img_u8 = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    mean = np.array([103.5, 116.3, 123.7], np.float32)
+    std = np.array([57.4, 57.1, 58.4], np.float32)
+    norm = (img_u8.astype(np.float32) - mean) / std
+
+    n = 24
+    rois = np.stack(
+        [
+            rng.uniform(-10, w + 10, n),   # includes out-of-bounds rois
+            rng.uniform(-10, h + 10, n),
+            rng.uniform(6, 140, n),
+            rng.uniform(4, 50, n),
+            rng.uniform(-180, 180, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    pooled = (16, 16)
+
+    got = np.asarray(
+        roi_align_rotated(
+            jnp.asarray(img_u8), jnp.asarray(rois), pooled, sampling_ratio=1,
+            normalize=(jnp.asarray(mean), jnp.asarray(std)),
+        )
+    )
+    want = np.asarray(
+        roi_align_rotated(
+            jnp.asarray(norm), jnp.asarray(rois), pooled, sampling_ratio=1,
+            packed_taps=False,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_u8_crop_adaptive_grid_matches_f32_path(rng):
+    """Same parity under the adaptive sampling grid (sampling_ratio=0)."""
+    from glass_tpu.ops.roi_align_rotated import roi_align_rotated
+
+    h, w = 64, 72
+    img_u8 = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    mean = np.array([103.5, 116.3, 123.7], np.float32)
+    std = np.array([57.4, 57.1, 58.4], np.float32)
+    norm = (img_u8.astype(np.float32) - mean) / std
+    rois = np.array(
+        [[30.0, 28.0, 50.0, 20.0, 25.0], [40.0, 30.0, 90.0, 48.0, -60.0]],
+        np.float32,
+    )
+    got = np.asarray(
+        roi_align_rotated(
+            jnp.asarray(img_u8), jnp.asarray(rois), (8, 8), sampling_ratio=0,
+            max_sampling_ratio=2,
+            normalize=(jnp.asarray(mean), jnp.asarray(std)),
+        )
+    )
+    want = np.asarray(
+        roi_align_rotated(
+            jnp.asarray(norm), jnp.asarray(rois), (8, 8), sampling_ratio=0,
+            max_sampling_ratio=2, packed_taps=False,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
