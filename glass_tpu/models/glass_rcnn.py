@@ -117,6 +117,9 @@ class GlassArch:
     mask_inference: bool = False
     mask_pooler_resolution: int = 14
     mask_num_conv: int = 4
+    # Backbone freezing (d2 MODEL.BACKBONE.FREEZE_AT: 1=stem, 2=+res2, ...;
+    # GLASS configs set 0 = train everything).
+    freeze_at: int = 0
     # Execution
     compute_dtype: str = "float32"
     remat_backbone: bool = False
@@ -237,6 +240,7 @@ class GlassArch:
             mask_inference=cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE,
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
             roi_align_backend=cfg.TPU.ROI_ALIGN_BACKEND,
@@ -302,7 +306,9 @@ def backbone_features(
     ctx: Ctx, arch: GlassArch, params: dict, images: jnp.ndarray
 ) -> Dict[str, jnp.ndarray]:
     """images (N, H, W, 3) normalized -> {p2..p6} NHWC."""
-    bu = resnet50_apply(ctx, params["backbone"]["bottom_up"], images)
+    bu = resnet50_apply(
+        ctx, params["backbone"]["bottom_up"], images, freeze_at=arch.freeze_at
+    )
     return fpn_apply(ctx, params["backbone"], bu)
 
 

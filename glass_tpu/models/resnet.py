@@ -62,20 +62,42 @@ def resnet50_apply(
     x: jnp.ndarray,
     out_features: List[str] = ("res2", "res3", "res4", "res5"),
     path: str = "backbone.bottom_up",
+    freeze_at: int = 0,
 ) -> Dict[str, jnp.ndarray]:
-    """x: (N, H, W, 3) normalized image -> dict of stage features."""
+    """x: (N, H, W, 3) normalized image -> dict of stage features.
+
+    ``freeze_at`` follows d2 ``MODEL.BACKBONE.FREEZE_AT`` (resnet.py
+    ``freeze()``): 1 freezes the stem, 2 also res2, ... 5 the whole
+    backbone.  Frozen parts run FrozenBN semantics (running stats, no
+    stat updates — an eval-mode Ctx) and their gradients are stopped, so
+    XLA drops their dW/dx convolutions entirely.  The GLASS configs all
+    set 0 (everything trains); the knob exists for config parity and for
+    finetune users who want the (large) backbone-backward savings.
+    """
+
+    def stage_ctx(stage_index: int) -> Ctx:
+        if ctx.train and freeze_at >= stage_index:
+            return Ctx(train=False)
+        return ctx
+
     out = conv_norm(
-        ctx, x, params["stem"]["conv1"], f"{path}.stem.conv1", stride=2, padding=3, relu=True
+        stage_ctx(1), x, params["stem"]["conv1"], f"{path}.stem.conv1",
+        stride=2, padding=3, relu=True,
     )
     out = L.max_pool2d(out, 3, 2, 1)
+    if ctx.train and freeze_at >= 1:
+        out = jax.lax.stop_gradient(out)
 
     feats = {}
-    for name, n_blocks, _, _, stride in RESNET50_STAGES:
+    for idx, (name, n_blocks, _, _, stride) in enumerate(RESNET50_STAGES, start=2):
         stage = params[name]
+        sctx = stage_ctx(idx)
         for i in range(n_blocks):
             out = bottleneck_block(
-                ctx, out, stage[str(i)], f"{path}.{name}.{i}", stride if i == 0 else 1
+                sctx, out, stage[str(i)], f"{path}.{name}.{i}", stride if i == 0 else 1
             )
+        if ctx.train and freeze_at >= idx:
+            out = jax.lax.stop_gradient(out)
         if name in out_features:
             feats[name] = out
     return feats

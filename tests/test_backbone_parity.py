@@ -117,3 +117,40 @@ def test_backbone_fpn_matches_torch(rng):
     for k in ("p2", "p3", "p4", "p5", "p6"):
         got = np.asarray(feats[k]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, expected[k], atol=2e-3, err_msg=k)
+
+
+def test_freeze_at_stops_gradients_and_bn_updates():
+    """d2 MODEL.BACKBONE.FREEZE_AT semantics (resnet.py freeze()): frozen
+    stages get zero parameter gradients and FrozenBN behaviour (running
+    stats used, no stat updates recorded)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from glass_tpu.models.context import Ctx
+    from glass_tpu.models.resnet import init_resnet50, resnet50_apply
+
+    params = init_resnet50(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+
+    def loss(p, freeze_at):
+        ctx = Ctx(train=True)
+        feats = resnet50_apply(ctx, p, x, freeze_at=freeze_at)
+        return sum(jnp.sum(v**2) for v in feats.values()), ctx.bn_updates
+
+    (l0, bn0), g0 = jax.value_and_grad(loss, has_aux=True)(params, 0)
+    (l2, bn2), g2 = jax.value_and_grad(loss, has_aux=True)(params, 2)
+
+    def leaf_absmax(tree):
+        return max(float(jnp.abs(v).max()) for v in jax.tree_util.tree_leaves(tree))
+
+    # freeze_at=0: everything has gradient signal
+    assert leaf_absmax(g0["stem"]) > 0 and leaf_absmax(g0["res2"]) > 0
+    # freeze_at=2: stem+res2 grads identically zero, res3+ still flow
+    assert leaf_absmax(g2["stem"]) == 0
+    assert leaf_absmax(g2["res2"]) == 0
+    assert leaf_absmax(g2["res3"]) > 0
+    # FrozenBN: no stat updates recorded for frozen paths
+    assert not any(".stem." in k or ".res2." in k for k in bn2)
+    assert any(".res3." in k for k in bn2)
+    assert any(".stem." in k for k in bn0) and any(".res2." in k for k in bn0)
