@@ -187,12 +187,23 @@ class GlassRunner:
         k = min(n, cap)
         boxes[:k] = det_np["boxes"][order[:k]]
 
+        # uint8 upload: stage 2 pools raw crops straight from the uint8
+        # image (u8-packed gather; see recognize_single_image).
+        raw = jnp.asarray(padded) if padded.dtype == np.uint8 else None
         if cap not in self._jit_heads:
             arch = self.arch
-            self._jit_heads[cap] = jax.jit(
-                lambda p, f, nm, bx: glass_heads_stage(arch, p, f, nm, bx)
-            )
-        heads = self._jit_heads[cap](self.params, feats, norm, jnp.asarray(boxes))
+            if raw is None:
+                self._jit_heads[cap] = jax.jit(
+                    lambda p, f, nm, bx: glass_heads_stage(arch, p, f, nm, bx)
+                )
+            else:
+                self._jit_heads[cap] = jax.jit(
+                    lambda p, f, nm, bx, rw: glass_heads_stage(
+                        arch, p, f, nm, bx, raw_image=rw
+                    )
+                )
+        args = (self.params, feats, norm, jnp.asarray(boxes))
+        heads = self._jit_heads[cap](*args) if raw is None else self._jit_heads[cap](*args, raw)
         heads = jax.device_get(heads)
 
         d = self.arch.detections_per_image

@@ -639,12 +639,15 @@ def glass_detect_stage(arch: GlassArch, params: dict, image: jnp.ndarray,
 
 
 def glass_heads_stage(arch: GlassArch, params: dict, feats, norm: jnp.ndarray,
-                      boxes: jnp.ndarray) -> dict:
+                      boxes: jnp.ndarray,
+                      raw_image: jnp.ndarray | None = None) -> dict:
     """Stage 2: recognizer (+mask) on a word-bucketed box set."""
     ctx = Ctx(train=False)
     out = {}
     if arch.recognizer_on:
-        probs = recognize_single_image(ctx, arch, params, feats, norm, boxes)
+        probs = recognize_single_image(
+            ctx, arch, params, feats, norm, boxes, raw_image=raw_image
+        )
         out.update(_emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
         out["mask_probs"] = mask_single_image(

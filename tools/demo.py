@@ -36,13 +36,26 @@ def main():
     )
     image = cv2.imread(args.image, cv2.IMREAD_COLOR)
     preds = runner(image)
-    texts, scores, _ = runner.decode_texts(preds) if len(preds) else ([], [], [])
+    texts, scores, char_scores = (
+        runner.decode_texts(preds) if len(preds) else ([], [], [])
+    )
 
     print(f"{len(preds)} words:")
     for t, s, box in zip(texts, scores, np.asarray(preds.pred_boxes) if len(preds) else []):
         print(f"  {t!r}  score={s:.3f}  box={np.round(box, 1).tolist()}")
 
-    visualize(image[:, :, ::-1], preds, texts, scores, save_path=args.output)
+    if args.output.endswith(".html"):
+        # Interactive hover figure (the reference's plotly notebook output,
+        # as a self-contained HTML file).
+        from glass_tpu.utils.visualizer import visualize_html
+
+        visualize_html(
+            image[:, :, ::-1], preds, texts,
+            text_scores=scores, char_scores=char_scores,
+            save_path=args.output, title=os.path.basename(args.image),
+        )
+    else:
+        visualize(image[:, :, ::-1], preds, texts, scores, save_path=args.output)
     print(f"visualization written to {args.output}")
 
 
