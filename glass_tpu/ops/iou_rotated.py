@@ -157,6 +157,54 @@ def pairwise_iou_rotated(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarra
     return jnp.clip(jnp.where(valid, iou, 0.0), 0.0, 1.0)
 
 
+def pairwise_iou_rotated_rowmasked(
+    boxes1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    boxes2: jnp.ndarray,
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """IoU like :func:`pairwise_iou_rotated` with invalid rows zeroed — and,
+    crucially, whole invalid row-*chunks* skipped via ``lax.cond``, so the
+    cost scales with the number of valid rows (the anchor matcher's gt axis
+    is padded to 256 but typically carries 10-40 real gts).
+
+    The cond is a real branch only OUTSIDE vmap (the train step unrolls
+    its batch loop); under vmap this degrades to computing both branches
+    (still correct, just not faster).
+    """
+    from .boxes import boxes_to_polygons
+
+    m = boxes1.shape[0]
+    n = boxes2.shape[0]
+    boxes1 = boxes1.astype(jnp.float32)
+    boxes2 = boxes2.astype(jnp.float32)
+    pad = (-m) % chunk
+    b1 = jnp.pad(boxes1, ((0, pad), (0, 0)))
+    v1 = jnp.pad(valid1, (0, pad)).reshape(-1, chunk)
+    b1 = b1.reshape(-1, chunk, 5)
+    p2 = boxes_to_polygons(boxes2)
+    a2 = boxes2[:, 2] * boxes2[:, 3]
+
+    def body(_, xs):
+        cb, cv = xs
+
+        def live(_x):
+            inter = _intersection_chunk(boxes_to_polygons(cb), p2)
+            a1 = cb[:, 2] * cb[:, 3]
+            union = a1[:, None] + a2[None, :] - inter
+            iou = jnp.where(union > 1e-12, inter / union, 0.0)
+            valid = (a1 > 1e-14)[:, None] & (a2 > 1e-14)[None, :]
+            iou = jnp.clip(jnp.where(valid, iou, 0.0), 0.0, 1.0)
+            return iou * cv[:, None]
+
+        return None, jax.lax.cond(
+            jnp.any(cv), live, lambda _x: jnp.zeros((chunk, n), jnp.float32), None
+        )
+
+    _, out = jax.lax.scan(body, None, (b1, v1))
+    return out.reshape(-1, n)[:m]
+
+
 @jax.jit
 def pairwise_ioa_rotated(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """Intersection over the *minimal* area of the two boxes.

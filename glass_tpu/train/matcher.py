@@ -24,7 +24,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.iou_rotated import pairwise_iou_rotated
+from ..ops.iou_rotated import (
+    pairwise_iou_rotated,
+    pairwise_iou_rotated_rowmasked,
+)
 
 
 def matcher_assign(
@@ -158,6 +161,10 @@ def _blockwise_bound_reduce(
     pad = (-g) % block
     gt_blocks = jnp.pad(gt_boxes, ((0, pad), (0, 0))).reshape(-1, block, 5)
     gv_blocks = jnp.pad(gt_valid, (0, pad)).reshape(-1, block)
+    # Dead blocks (all-padding gt rows — the common case: images carry
+    # 10-40 real gts against the 256-row capacity) skip the bound compute
+    # entirely via lax.cond.  NOTE: the cond stays a real branch only when
+    # this runs OUTSIDE vmap (train_step unrolls the batch loop for this).
     if thr is not None:
         thr_blocks = jnp.pad(
             thr, (0, pad), constant_values=jnp.inf
@@ -165,8 +172,12 @@ def _blockwise_bound_reduce(
 
         def body_any(carry, xs):
             gt_b, gv_b, th_b = xs
-            ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
-            return carry | jnp.any(ub >= th_b[:, None], axis=0), None
+
+            def live(c):
+                ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
+                return c | jnp.any(ub >= th_b[:, None], axis=0)
+
+            return jax.lax.cond(jnp.any(gv_b), live, lambda c: c, carry), None
 
         out, _ = jax.lax.scan(
             body_any,
@@ -177,8 +188,12 @@ def _blockwise_bound_reduce(
 
     def body_max(carry, xs):
         gt_b, gv_b = xs
-        ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
-        return jnp.maximum(carry, jnp.max(ub, axis=0)), None
+
+        def live(c):
+            ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
+            return jnp.maximum(c, jnp.max(ub, axis=0))
+
+        return jax.lax.cond(jnp.any(gv_b), live, lambda c: c, carry), None
 
     out, _ = jax.lax.scan(
         body_max,
@@ -265,7 +280,9 @@ def rpn_label_anchors(
 
     Returns:
         labels: (A,) in {1 fg, 0 bg, -1 ignore} (low-quality matches applied).
-        matched_gt: (A, 5) the gt box each anchor regresses to.
+        matched_gt_idx: (A,) index of the gt each anchor regresses to
+            (gather ``gt_boxes[matched_gt_idx[sampled]]`` on the sampled
+            subset — the full (A, 5) gather is deliberately not done here).
         diag: dict of scalar overflow counters — ``matcher_pool_dropped``
             (bound-passing candidates dropped by pool-capacity overflow in
             rounds 1+2; >0 means matching silently degraded to background
@@ -285,8 +302,8 @@ def rpn_label_anchors(
     )
     n1 = jnp.sum(flags1.astype(jnp.int32))
     idx1, val1 = _compact_flags(flags1, k)
-    iou1 = pairwise_iou_rotated(gt_boxes, anchors[idx1])
-    iou1 = iou1 * gt_valid[:, None] * val1[None, :]
+    iou1 = pairwise_iou_rotated_rowmasked(gt_boxes, gt_valid, anchors[idx1])
+    iou1 = iou1 * val1[None, :]
     best1 = jnp.max(iou1, axis=1)  # (G,) lower bound of each gt's true best
 
     # Round 2: every anchor that could still beat a gt's round-1 best.
@@ -319,8 +336,8 @@ def rpn_label_anchors(
             jnp.float32
         ),
     }
-    iou2 = pairwise_iou_rotated(gt_boxes, anchors[idx2])
-    iou2 = iou2 * gt_valid[:, None] * val2[None, :]
+    iou2 = pairwise_iou_rotated_rowmasked(gt_boxes, gt_valid, anchors[idx2])
+    iou2 = iou2 * val2[None, :]
 
     iou = jnp.concatenate([iou1, iou2], axis=1)  # (G, P)
     cat_idx = jnp.concatenate([idx1, idx2])
@@ -347,8 +364,10 @@ def rpn_label_anchors(
     )
     labels = jnp.where(lq, 1, labels)
 
-    matched_gt = gt_boxes[matched_gt_idx]
-    return labels, matched_gt, diag
+    # Return the gt INDEX per anchor, not the gathered (A, 5) boxes: only
+    # the ~rpn_batch_per_image sampled anchors ever need their matched box,
+    # and the full 1M x 5 narrow-row gather measured ~4.5 ms/step on v5e.
+    return labels, matched_gt_idx, diag
 
 
 def auto_match_pool(max_gt: int) -> int:

@@ -157,19 +157,25 @@ def rpn_losses(
     # their indices and compute deltas/BCE on the sampled set (the full
     # 1M-anchor get_deltas + masked losses measured ~8 ms/step on v5e).
     def per_image(gt_b, gt_v, key):
-        labels, matched_gt, diag = rpn_label_anchors(
+        labels, matched_idx, diag = rpn_label_anchors(
             gt_b, gt_v, anchors, k=tcfg.match_topk
         )
         pos_idx, pos_val, neg_idx, neg_val = subsample_labels_idx(
             key, labels, tcfg.rpn_batch_per_image, tcfg.rpn_positive_fraction
         )
         gt_d = get_deltas(
-            anchors[pos_idx], matched_gt[pos_idx], arch.rpn_bbox_weights
+            anchors[pos_idx], gt_b[matched_idx[pos_idx]], arch.rpn_bbox_weights
         )
         return pos_idx, pos_val, neg_idx, neg_val, gt_d, diag
 
-    pos_idx, pos_val, neg_idx, neg_val, gt_d, diag = jax.vmap(per_image)(
-        gt_boxes, gt_valid, keys
+    # Static Python loop instead of vmap: under vmap every lax.cond in the
+    # matcher lowers to select (both branches execute), which defeats the
+    # valid-gt-block skipping that makes matching cost scale with the
+    # ~10-40 real gts instead of the 256-row padded capacity.  b is static
+    # (1 per chip at the operating point), so unrolling is free.
+    per_b = [per_image(gt_boxes[i], gt_valid[i], keys[i]) for i in range(b)]
+    pos_idx, pos_val, neg_idx, neg_val, gt_d, diag = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *per_b
     )
 
     take = jax.vmap(lambda arr, idx: arr[idx])

@@ -87,10 +87,10 @@ def test_rpn_label_anchors_against_dense(rng):
     lq = ((iou >= best - 1e-5) & (best > 1e-5)).any(axis=0)
     ref = np.where(lq, 1, ref)
     np.testing.assert_array_equal(np.asarray(labels), ref)
-    # matched gt: argmax per anchor for fg anchors
+    # matched gt: argmax per anchor for fg anchors (idx return -> boxes)
     am = iou.argmax(axis=0)
     fg = np.asarray(labels) == 1
-    got_matched = np.asarray(matched)
+    got_matched = gt[np.asarray(matched)]
     mismatch = 0
     for i in np.where(fg)[0]:
         if not np.allclose(got_matched[i], gt[am[i]]):

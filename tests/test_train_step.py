@@ -79,11 +79,19 @@ def test_train_forward_losses(tiny_params):
     expected = {
         "loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg",
         "loss_orientation", "loss_decoder", "loss_mask",
+        # diagnostics ride along as metrics, excluded from the total
+        "matcher_pool_dropped", "matcher_weak_dropped",
     }
     assert set(losses) == expected
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert np.isfinite(float(total))
+    # the optimized objective sums only loss_* entries
+    np.testing.assert_allclose(
+        float(total),
+        sum(float(v) for k, v in losses.items() if k.startswith("loss")),
+        rtol=1e-6,
+    )
     assert len(bn_updates) > 0  # BN stats were collected
 
 
