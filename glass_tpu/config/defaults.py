@@ -506,6 +506,15 @@ def get_default_config() -> CN:
     _C.TPU.POOL_MAX_SAMPLING_RATIO = 4
     _C.TPU.POOL_BULK_SAMPLING_RATIO = 2
     _C.TPU.POOL_LARGE_ROI_BUDGET = 16
+    # Per-pooler bulk grids, (grid_h, grid_w). Word boxes are anisotropic:
+    # on their (usually clamped-lowest) FPN level a typical word spans
+    # <14 px vertically and <=2x14 px horizontally, so d2's adaptive grid at
+    # the 14x14 mask pooler is (1, 2) and at the 8x32 recognizer pooler
+    # (2, 1). Matching per-axis bulk passes + the LARGE_ROI_BUDGET
+    # full-grid pass stay exact for those statistics at half the gather and
+    # backward-scatter traffic. Set (2, 2) to mirror the box pooler's bulk.
+    _C.TPU.MASK_POOL_BULK_SAMPLING_RATIO = (1, 2)
+    _C.TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO = (2, 1)
     # Recognizer host-fetch representation: "topk" = on-device argmax ids +
     # per-step max probs (12x smaller transfer; sufficient for argmax
     # decoding). "probs" = full (T, V) distributions — REQUIRED when lexicon

@@ -100,6 +100,13 @@ class GlassArch:
     pool_max_sampling_ratio: int = 4
     pool_bulk_sampling_ratio: int = 2
     pool_large_roi_budget: int = 16
+    # per-axis bulk grids (TPU.MASK_POOL_BULK_SAMPLING_RATIO /
+    # TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO): word-box statistics put
+    # d2's adaptive grid at (1, 2) for the 14x14 mask pooler and (2, 1)
+    # for the 8x32 recognizer pooler; matching bulk pairs + the large-roi
+    # full-grid pass stay exact at half the gather/scatter cost
+    mask_pool_bulk_sampling_ratio: tuple = (1, 2)
+    recognizer_pool_bulk_sampling_ratio: tuple = (2, 1)
     max_word_len: int = 25
     vocab_size: int = 97
     gc_headers: int = 8
@@ -225,6 +232,18 @@ class GlassArch:
             pool_max_sampling_ratio=cfg.TPU.POOL_MAX_SAMPLING_RATIO,
             pool_bulk_sampling_ratio=cfg.TPU.POOL_BULK_SAMPLING_RATIO,
             pool_large_roi_budget=cfg.TPU.POOL_LARGE_ROI_BUDGET,
+            mask_pool_bulk_sampling_ratio=tuple(
+                cfg.TPU.MASK_POOL_BULK_SAMPLING_RATIO
+            )
+            if isinstance(cfg.TPU.MASK_POOL_BULK_SAMPLING_RATIO, (tuple, list))
+            else cfg.TPU.MASK_POOL_BULK_SAMPLING_RATIO,
+            recognizer_pool_bulk_sampling_ratio=tuple(
+                cfg.TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO
+            )
+            if isinstance(
+                cfg.TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO, (tuple, list)
+            )
+            else cfg.TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO,
             max_word_len=rec.MAX_WORD_LENGTH,
             # attention adds [GO],[s]; ctc adds [blank] (text/codec.py)
             vocab_size=len(rec.CHARACTER_SET)
@@ -375,6 +394,7 @@ def _multilevel_pool(
     rois: jnp.ndarray,
     out_hw: Tuple[int, int],
     sampling_ratio: int,
+    bulk_sampling_ratio: int | None = None,
 ) -> jnp.ndarray:
     """detectron2 multi-level ROIPooler over single-image features.
 
@@ -402,7 +422,11 @@ def _multilevel_pool(
         strides,
         sampling_ratio=sampling_ratio,
         max_sampling_ratio=arch.pool_max_sampling_ratio,
-        bulk_sampling_ratio=arch.pool_bulk_sampling_ratio,
+        bulk_sampling_ratio=(
+            arch.pool_bulk_sampling_ratio
+            if bulk_sampling_ratio is None
+            else bulk_sampling_ratio
+        ),
         large_roi_budget=arch.pool_large_roi_budget,
     )
 
@@ -489,7 +513,7 @@ def recognize_single_image(
     global_feats = roi_align_rotated_adaptive(
         fused, pool_boxes, pool_hw, spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
         max_sampling_ratio=arch.pool_max_sampling_ratio,
-        bulk_sampling_ratio=arch.pool_bulk_sampling_ratio,
+        bulk_sampling_ratio=arch.recognizer_pool_bulk_sampling_ratio,
         large_roi_budget=arch.pool_large_roi_budget,
     )
     if pad_ratio is not None:
@@ -556,6 +580,7 @@ def mask_single_image(
         boxes,
         (arch.mask_pooler_resolution, arch.mask_pooler_resolution),
         0,
+        bulk_sampling_ratio=arch.mask_pool_bulk_sampling_ratio,
     )
     logits = mask_head_apply(
         ctx, params["roi_heads"]["mask_head"], pooled, arch.mask_num_conv

@@ -183,9 +183,14 @@ def batch_norm(
         return x * scale + shift
 
     red_axes = tuple(range(x.ndim - 1))
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=red_axes)
-    mean_sq = jnp.mean(xf**2, axis=red_axes)
+    # f32 accumulators WITHOUT materializing an f32 copy of the (large)
+    # activation: each reduction carries its own fused per-element convert
+    # (a shared `x.astype(f32)` temp measured as extra full passes over
+    # ~300 MB of backbone activations per step).
+    mean = jnp.mean(x, axis=red_axes, dtype=jnp.float32)
+    mean_sq = jnp.mean(
+        jnp.square(x.astype(jnp.float32)), axis=red_axes
+    )
     if axis_name is not None:
         mean = jax.lax.pmean(mean, axis_name)
         mean_sq = jax.lax.pmean(mean_sq, axis_name)

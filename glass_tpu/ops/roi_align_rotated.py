@@ -32,6 +32,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _grid_pair(g):
+    """Static grid spec (int or (grid_h, grid_w)) -> per-axis pair.
+
+    Word-box statistics are anisotropic — e.g. at the 14x14 mask pooler a
+    typical word needs d2 grid (h=1, w=2), at the 8x32 recognizer pooler
+    (h=2, w=1) — so the static sampling caps accept per-axis values."""
+    if isinstance(g, (tuple, list)):
+        gh, gw = g
+        return int(gh), int(gw)
+    return int(g), int(g)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -79,7 +91,9 @@ def roi_align_rotated(
     height, width, channels = features.shape
     rois = rois.astype(jnp.float32)
     offset = 0.5 if aligned else 0.0
-    g = sampling_ratio if sampling_ratio > 0 else max_sampling_ratio
+    gh_s, gw_s = _grid_pair(
+        sampling_ratio if sampling_ratio > 0 else max_sampling_ratio
+    )
 
     cx = rois[:, 0] * spatial_scale - offset  # (R,)
     cy = rois[:, 1] * spatial_scale - offset
@@ -94,33 +108,34 @@ def roi_align_rotated(
         g_h = jnp.full_like(bin_h, sampling_ratio)
         g_w = jnp.full_like(bin_w, sampling_ratio)
     else:
-        g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, g)
-        g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, g)
+        g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, gh_s)
+        g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, gw_s)
 
-    # Flat sample coordinates: (R, S) with S = ph*pw*g*g minor-most.
+    # Flat sample coordinates: (R, S) with S = ph*pw*gh*gw minor-most.
     ph = jnp.arange(pooled_h, dtype=jnp.float32)
     pw = jnp.arange(pooled_w, dtype=jnp.float32)
-    gi = jnp.arange(g, dtype=jnp.float32)
+    gih = jnp.arange(gh_s, dtype=jnp.float32)
+    giw = jnp.arange(gw_s, dtype=jnp.float32)
 
-    # roi-frame offsets, broadcast over (R, ph, pw, g, g) then flattened.
+    # roi-frame offsets, broadcast over (R, ph, pw, gh, gw) then flattened.
     yy = (
         -rh[:, None, None] / 2.0
         + ph[None, :, None] * bin_h[:, None, None]
-        + (gi[None, None, :] + 0.5) * bin_h[:, None, None] / g_h[:, None, None]
-    )  # (R, ph, g)
+        + (gih[None, None, :] + 0.5) * bin_h[:, None, None] / g_h[:, None, None]
+    )  # (R, ph, gh)
     xx = (
         -rw[:, None, None] / 2.0
         + pw[None, :, None] * bin_w[:, None, None]
-        + (gi[None, None, :] + 0.5) * bin_w[:, None, None] / g_w[:, None, None]
-    )  # (R, pw, g)
+        + (giw[None, None, :] + 0.5) * bin_w[:, None, None] / g_w[:, None, None]
+    )  # (R, pw, gw)
 
     r = rois.shape[0]
-    s = pooled_h * pooled_w * g * g
+    s = pooled_h * pooled_w * gh_s * gw_s
     yy_f = jnp.broadcast_to(
-        yy[:, :, None, :, None], (r, pooled_h, pooled_w, g, g)
+        yy[:, :, None, :, None], (r, pooled_h, pooled_w, gh_s, gw_s)
     ).reshape(r, s)
     xx_f = jnp.broadcast_to(
-        xx[:, None, :, None, :], (r, pooled_h, pooled_w, g, g)
+        xx[:, None, :, None, :], (r, pooled_h, pooled_w, gh_s, gw_s)
     ).reshape(r, s)
 
     y = yy_f * cos_t[:, None] - xx_f * sin_t[:, None] + cy[:, None]  # (R, S)
@@ -142,11 +157,11 @@ def roi_align_rotated(
 
     # Per-bin sampling mask and normalization.
     grid_mask = (
-        (gi[None, :, None] < g_h[:, None, None])
-        & (gi[None, None, :] < g_w[:, None, None])
-    )  # (R, g, g)
+        (gih[None, :, None] < g_h[:, None, None])
+        & (giw[None, None, :] < g_w[:, None, None])
+    )  # (R, gh, gw)
     mask_f = jnp.broadcast_to(
-        grid_mask[:, None, None, :, :], (r, pooled_h, pooled_w, g, g)
+        grid_mask[:, None, None, :, :], (r, pooled_h, pooled_w, gh_s, gw_s)
     ).reshape(r, s)
     count = (g_h * g_w).astype(features.dtype)  # (R,)
 
@@ -184,7 +199,7 @@ def roi_align_rotated(
             mean, std = normalize
             wsum = (w00 + w01 + w10 + w11).reshape(-1, 1)  # (R*S, 1)
             acc = (acc - wsum * mean.reshape(1, -1)) / std.reshape(1, -1)
-        acc = acc.reshape(r, pooled_h * pooled_w, g * g, channels).sum(axis=2)
+        acc = acc.reshape(r, pooled_h * pooled_w, gh_s * gw_s, channels).sum(axis=2)
         return acc.reshape(r, pooled_h, pooled_w, channels)
     if normalize is not None:
         raise NotImplementedError("normalize fold requires a uint8 input")
@@ -246,7 +261,7 @@ def roi_align_rotated(
         )  # (R*S, C)
 
     # Sum the g*g samples of each bin: (R, ph*pw, g*g, C) -> (R, ph*pw, C).
-    acc = acc.reshape(r, pooled_h * pooled_w, g * g, channels).sum(axis=2)
+    acc = acc.reshape(r, pooled_h * pooled_w, gh_s * gw_s, channels).sum(axis=2)
     return acc.reshape(r, pooled_h, pooled_w, channels)
 
 
@@ -281,14 +296,24 @@ def roi_align_rotated_adaptive(
     grid fits) plus a full-cap pass on (up to ``large_roi_budget``) rois
     that need a finer grid, scattered back over the bulk result.
 
-    Bit-exact vs the monolithic cap pass whenever at most
+    Mathematically identical to the monolithic cap pass whenever at most
     ``large_roi_budget`` rois exceed the bulk grid (masked samples
     contribute exact zeros, so buffer capacity does not change the sums);
-    overflow rois beyond the budget fall back to the bulk grid.
+    overflow rois beyond the budget fall back to the bulk grid.  In
+    practice outputs can differ by a few ULPs of the sample coordinates:
+    XLA fuses the rotation arithmetic (``yy*cos - xx*sin + cy``)
+    differently at different static sample counts (FMA vs separate
+    mul/add), so compare with a ~1e-4 tolerance, not bit equality.
     Measured 7.5 -> ~4 ms for the 100-word 8x32 recognizer pool on v5e.
+
+    Both grid caps accept per-axis ``(grid_h, grid_w)`` pairs — word boxes
+    are anisotropic, so e.g. the 8x32 recognizer pool's typical d2 grid is
+    (2, 1) and a matching bulk pair halves the bulk gather again.
     """
     pooled_h, pooled_w = output_size
-    if bulk_sampling_ratio >= max_sampling_ratio:
+    bh, bw = _grid_pair(bulk_sampling_ratio)
+    mh, mw = _grid_pair(max_sampling_ratio)
+    if bh >= mh and bw >= mw:
         return roi_align_rotated(
             features, rois, output_size, spatial_scale=spatial_scale,
             sampling_ratio=0, max_sampling_ratio=max_sampling_ratio,
@@ -299,11 +324,11 @@ def roi_align_rotated_adaptive(
     rw = rois[:, 2] * spatial_scale
     g_h = jnp.ceil(rh / pooled_h)
     g_w = jnp.ceil(rw / pooled_w)
-    is_large = (g_h > bulk_sampling_ratio) | (g_w > bulk_sampling_ratio)
+    is_large = (g_h > bh) | (g_w > bw)
 
     bulk = roi_align_rotated(
         features, rois, output_size, spatial_scale=spatial_scale,
-        sampling_ratio=0, max_sampling_ratio=bulk_sampling_ratio,
+        sampling_ratio=0, max_sampling_ratio=(bh, bw),
         aligned=aligned,
     )
 
@@ -355,7 +380,9 @@ def _packed_pool_impl(
     flat: (sum HW, C) concatenated level maps.
     level_meta: (L, 4) float32 rows [stride, H, W, row_offset].
     levels: (R,) level index per roi.
+    grid: static sampling cap — int or per-axis (grid_h, grid_w).
     """
+    grid_h, grid_w = _grid_pair(grid)
     channels = flat.shape[1]
     r = rois.shape[0]
     meta = level_meta[levels]  # (R, 4)
@@ -378,26 +405,27 @@ def _packed_pool_impl(
         g_h = jnp.full_like(bin_h, sampling_ratio)
         g_w = jnp.full_like(bin_w, sampling_ratio)
     else:
-        g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, grid)
-        g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, grid)
+        g_h = jnp.clip(jnp.ceil(rh / pooled_h), 1, grid_h)
+        g_w = jnp.clip(jnp.ceil(rw / pooled_w), 1, grid_w)
 
     ph = jnp.arange(pooled_h, dtype=jnp.float32)
     pw = jnp.arange(pooled_w, dtype=jnp.float32)
-    gi = jnp.arange(grid, dtype=jnp.float32)
+    gih = jnp.arange(grid_h, dtype=jnp.float32)
+    giw = jnp.arange(grid_w, dtype=jnp.float32)
 
     yy = (
         -rh[:, None, None] / 2.0
         + ph[None, :, None] * bin_h[:, None, None]
-        + (gi[None, None, :] + 0.5) * bin_h[:, None, None] / g_h[:, None, None]
+        + (gih[None, None, :] + 0.5) * bin_h[:, None, None] / g_h[:, None, None]
     )
     xx = (
         -rw[:, None, None] / 2.0
         + pw[None, :, None] * bin_w[:, None, None]
-        + (gi[None, None, :] + 0.5) * bin_w[:, None, None] / g_w[:, None, None]
+        + (giw[None, None, :] + 0.5) * bin_w[:, None, None] / g_w[:, None, None]
     )
-    s = pooled_h * pooled_w * grid * grid
-    yy_f = jnp.broadcast_to(yy[:, :, None, :, None], (r, pooled_h, pooled_w, grid, grid)).reshape(r, s)
-    xx_f = jnp.broadcast_to(xx[:, None, :, None, :], (r, pooled_h, pooled_w, grid, grid)).reshape(r, s)
+    s = pooled_h * pooled_w * grid_h * grid_w
+    yy_f = jnp.broadcast_to(yy[:, :, None, :, None], (r, pooled_h, pooled_w, grid_h, grid_w)).reshape(r, s)
+    xx_f = jnp.broadcast_to(xx[:, None, :, None, :], (r, pooled_h, pooled_w, grid_h, grid_w)).reshape(r, s)
 
     y = yy_f * cos_t[:, None] - xx_f * sin_t[:, None] + cy[:, None]
     x = yy_f * sin_t[:, None] + xx_f * cos_t[:, None] + cx[:, None]
@@ -421,11 +449,11 @@ def _packed_pool_impl(
     xi1 = jnp.minimum(xi + 1, w_r.astype(jnp.int32) - 1)
 
     grid_mask = (
-        (jnp.arange(grid)[None, :, None] < g_h[:, None, None])
-        & (jnp.arange(grid)[None, None, :] < g_w[:, None, None])
+        (jnp.arange(grid_h)[None, :, None] < g_h[:, None, None])
+        & (jnp.arange(grid_w)[None, None, :] < g_w[:, None, None])
     )
     mask_f = jnp.broadcast_to(
-        grid_mask[:, None, None, :, :], (r, pooled_h, pooled_w, grid, grid)
+        grid_mask[:, None, None, :, :], (r, pooled_h, pooled_w, grid_h, grid_w)
     ).reshape(r, s)
     count = (g_h * g_w)[:, None]
     w00 = jnp.where(outside | ~mask_f, 0.0, hy * hx) / count
@@ -445,7 +473,7 @@ def _packed_pool_impl(
         + flat[i10] * w10.reshape(-1, 1).astype(flat.dtype)
         + flat[i11] * w11.reshape(-1, 1).astype(flat.dtype)
     )
-    acc = acc.reshape(r, pooled_h * pooled_w, grid * grid, channels).sum(axis=2)
+    acc = acc.reshape(r, pooled_h * pooled_w, grid_h * grid_w, channels).sum(axis=2)
     return acc.reshape(r, pooled_h, pooled_w, channels)
 
 
@@ -490,9 +518,13 @@ def multilevel_roi_align_rotated_packed(
         jnp.float32,
     )
     rois = rois.astype(jnp.float32)
-    split = 0 < bulk_sampling_ratio < max_sampling_ratio and sampling_ratio == 0
+    bh, bw = _grid_pair(bulk_sampling_ratio)
+    mh, mw = _grid_pair(max_sampling_ratio)
+    split = (
+        sampling_ratio == 0 and bh > 0 and bw > 0 and (bh < mh or bw < mw)
+    )
     grid = sampling_ratio if sampling_ratio > 0 else (
-        bulk_sampling_ratio if split else max_sampling_ratio
+        (bh, bw) if split else (mh, mw)
     )
     pooled = _packed_pool_impl(
         flat, level_meta, rois, levels,
@@ -504,7 +536,7 @@ def multilevel_roi_align_rotated_packed(
     stride_r = level_meta[levels, 0]
     g_h = jnp.ceil(rois[:, 3] / stride_r / pooled_h)
     g_w = jnp.ceil(rois[:, 2] / stride_r / pooled_w)
-    is_large = (g_h > bulk_sampling_ratio) | (g_w > bulk_sampling_ratio)
+    is_large = (g_h > bh) | (g_w > bw)
     budget = min(large_roi_budget, rois.shape[0])
     sel_flag, sel_idx = jax.lax.top_k(is_large.astype(jnp.int32), budget)
     fine = _packed_pool_impl(

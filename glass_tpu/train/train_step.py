@@ -427,7 +427,7 @@ def glass_train_forward(
                 fmap, bx, arch.recognizer_pool_hw,
                 spatial_scale=1.0 / FPN_LEVEL_STRIDES["p2"],
                 max_sampling_ratio=arch.pool_max_sampling_ratio,
-                bulk_sampling_ratio=arch.pool_bulk_sampling_ratio,
+                bulk_sampling_ratio=arch.recognizer_pool_bulk_sampling_ratio,
                 large_roi_budget=arch.pool_large_roi_budget,
             )
         )(fused, word_boxes)
@@ -502,6 +502,7 @@ def glass_train_forward(
                 bx,
                 (arch.mask_pooler_resolution, arch.mask_pooler_resolution),
                 0,
+                bulk_sampling_ratio=arch.mask_pool_bulk_sampling_ratio,
             )
         )({k: feats[k] for k in arch.box_in_features}, mask_boxes)
         pooled_m = pooled_m.reshape(b * m_cap, *pooled_m.shape[2:])

@@ -218,6 +218,82 @@ def test_multilevel_packed_split_matches_monolithic():
     np.testing.assert_array_equal(np.asarray(split), np.asarray(mono))
 
 
+def test_mask_pool_bulk1_matches_monolithic_on_word_rois():
+    """The 14x14 mask pooler with the per-axis (1, 2) bulk grid
+    (TPU.MASK_POOL_BULK_SAMPLING_RATIO) must be bit-exact vs the
+    monolithic cap-4 pass on word statistics: text boxes clamp to the
+    lowest FPN level where d2's adaptive grid is ceil(h/14) = 1 tall and
+    ceil(w/14) <= 2 wide, and the large-roi budget pass covers the
+    exceptions."""
+    from glass_tpu.ops.roi_align_rotated import multilevel_roi_align_rotated_packed
+
+    rng = np.random.RandomState(11)
+    feats = [
+        jnp.asarray(rng.randn(64, 96, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(32, 48, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(16, 24, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(8, 12, 8).astype(np.float32)),
+    ]
+    strides = [4, 8, 16, 32]
+    n = 48
+    # word-like rois (height 8-40 px, width 16-118 px) + a few large ones
+    big = rng.rand(n) < 0.15
+    w = np.where(big, rng.rand(n) * 800 + 400, rng.rand(n) * 102 + 16)
+    h = np.where(big, rng.rand(n) * 250 + 150, rng.rand(n) * 32 + 8)
+    rois = jnp.asarray(np.stack([
+        rng.rand(n) * 300 + 20, rng.rand(n) * 200 + 10, w, h,
+        (rng.rand(n) - 0.5) * 180,
+    ], 1).astype(np.float32))
+
+    mono = multilevel_roi_align_rotated_packed(
+        feats, rois, (14, 14), strides, sampling_ratio=0, max_sampling_ratio=4,
+    )
+    bulk12 = multilevel_roi_align_rotated_packed(
+        feats, rois, (14, 14), strides, sampling_ratio=0, max_sampling_ratio=4,
+        bulk_sampling_ratio=(1, 2), large_roi_budget=16,
+    )
+    # tolerance, not bit equality: see the adaptive docstring (XLA fuses
+    # the rotation arithmetic differently at different sample counts)
+    np.testing.assert_allclose(
+        np.asarray(bulk12), np.asarray(mono), atol=1e-4, rtol=0
+    )
+
+
+def test_recognizer_pool_bulk_pair_matches_monolithic_on_word_rois():
+    """8x32 recognizer pooler with the (2, 1) bulk pair vs monolithic
+    cap-4: typical words are <=2 bins tall and 1 bin wide on the fused
+    P2 map; budget pass covers wide words."""
+    from glass_tpu.ops.roi_align_rotated import (
+        roi_align_rotated,
+        roi_align_rotated_adaptive,
+    )
+
+    rng = np.random.RandomState(12)
+    feat = jnp.asarray(rng.randn(60, 90, 16).astype(np.float32))
+    n = 40
+    big = rng.rand(n) < 0.15
+    w = np.where(big, rng.rand(n) * 400 + 150, rng.rand(n) * 110 + 16)
+    h = np.where(big, rng.rand(n) * 150 + 70, rng.rand(n) * 48 + 8)
+    rois = jnp.asarray(np.stack([
+        rng.rand(n) * 300 + 20, rng.rand(n) * 200 + 20, w, h,
+        (rng.rand(n) - 0.5) * 180,
+    ], 1).astype(np.float32))
+
+    mono = roi_align_rotated(
+        feat, rois, (8, 32), spatial_scale=0.25,
+        sampling_ratio=0, max_sampling_ratio=4,
+    )
+    pair = roi_align_rotated_adaptive(
+        feat, rois, (8, 32), spatial_scale=0.25,
+        max_sampling_ratio=4, bulk_sampling_ratio=(2, 1), large_roi_budget=16,
+    )
+    # not bit-equal: XLA fuses the rotation arithmetic differently at the
+    # two static sample counts (FMA), shifting coordinates by a few ULPs
+    np.testing.assert_allclose(
+        np.asarray(pair), np.asarray(mono), atol=1e-4, rtol=0
+    )
+
+
 def test_packed_bitcast_bf16_matches_unpacked(rng):
     """bf16 packed-taps gathers bit-pack bf16 pairs into f32 lanes (half
     the gathered elements); values must match the unpacked 4-gather path
