@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import pickle
 import re
+import shutil
 from typing import Dict
 
 import logging
@@ -241,6 +242,12 @@ def save_checkpoint(directory: str, step: int, params: dict, opt_state=None, ext
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"ckpt_{step:07d}"))
+    if os.path.exists(path):
+        # Re-saving the same step must win (d2's PeriodicCheckpointer
+        # overwrites): happens on final-iteration saves that coincide with
+        # the periodic save, or when re-running into an output dir left by
+        # an interrupted run without --resume.
+        shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": params}
     if opt_state is not None:

@@ -113,6 +113,7 @@ class Trainer:
             logger.info("Resumed from iteration %d", self.start_iter)
 
     def save(self, iteration: int):
+        self._last_saved_iter = iteration
         save_checkpoint(
             self.out_dir,
             iteration,
@@ -271,5 +272,6 @@ class Trainer:
                 self.storage.flush()
                 logger.warning("Exiting on signal at iteration %d", it)
                 return
-        self.save(max_iter - 1)
+        if getattr(self, "_last_saved_iter", None) != max_iter - 1:
+            self.save(max_iter - 1)
         self.storage.flush()
