@@ -187,9 +187,15 @@ class GlassRunner:
         k = min(n, cap)
         boxes[:k] = det_np["boxes"][order[:k]]
 
-        # uint8 upload: stage 2 pools raw crops straight from the uint8
-        # image (u8-packed gather; see recognize_single_image).
-        raw = jnp.asarray(padded) if padded.dtype == np.uint8 else None
+        # uint8 upload + f32 compute: stage 2 pools raw crops straight from
+        # the uint8 image (u8-packed gather, normalization folded, exact).
+        # Under bf16 compute the normalized-image bf16-pair gather is
+        # faster and equally precise post-quantization (glass_rcnn.py).
+        raw = (
+            jnp.asarray(padded)
+            if padded.dtype == np.uint8 and self.arch.compute_dtype == jnp.float32
+            else None
+        )
         if cap not in self._jit_heads:
             arch = self.arch
             if raw is None:
