@@ -496,6 +496,9 @@ def get_default_config() -> CN:
     # quarter of the gather cost. Set 2 for strict parity, 0 for adaptive
     # masking (same cost as CROP_MAX_SAMPLING_RATIO).
     _C.TPU.CROP_SAMPLING_RATIO = 1
+    # Raw-image crop pooler backend: "auto" (Pallas tile-DMA kernel on TPU
+    # serving, XLA gather elsewhere), "pallas", or "xla".
+    _C.TPU.CROP_BACKEND = "auto"
     _C.TPU.CROP_MAX_SAMPLING_RATIO = 2
     # Split-capacity realisation of d2's adaptive (sampling_ratio=0) pooling
     # grids: bulk static grid POOL_BULK_SAMPLING_RATIO for every roi plus a

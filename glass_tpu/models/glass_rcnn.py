@@ -95,6 +95,8 @@ class GlassArch:
     # identical to the fixed grid for boxes > 256 px and ~4x cheaper below.
     img_crop_sampling_ratio: int = 0
     crop_max_sampling_ratio: int = 2
+    # "auto" | "pallas" | "xla" - see TPU.CROP_BACKEND / ops/pallas_crop.py.
+    crop_backend: str = "auto"
     # adaptive-grid (sampling_ratio=0) pooler realisation — see
     # ops.roi_align_rotated_adaptive
     pool_max_sampling_ratio: int = 4
@@ -229,6 +231,7 @@ class GlassArch:
             img_crop_hw=(rec.POOLER_RESOLUTION_HEIGHT * 16, rec.POOLER_RESOLUTION_WIDTH * 4),
             img_crop_sampling_ratio=cfg.TPU.CROP_SAMPLING_RATIO,
             crop_max_sampling_ratio=cfg.TPU.CROP_MAX_SAMPLING_RATIO,
+            crop_backend=cfg.TPU.CROP_BACKEND,
             pool_max_sampling_ratio=cfg.TPU.POOL_MAX_SAMPLING_RATIO,
             pool_bulk_sampling_ratio=cfg.TPU.POOL_BULK_SAMPLING_RATIO,
             pool_large_roi_budget=cfg.TPU.POOL_LARGE_ROI_BUDGET,
@@ -520,7 +523,29 @@ def recognize_single_image(
         from .pooler_pad import feat_pad_v2_mask
 
         global_feats = feat_pad_v2_mask(global_feats, pad_ratio)
-    if raw_image is not None and raw_image.dtype == jnp.uint8:
+    # Crop backend selection (TPU.CROP_BACKEND): the Pallas tile-DMA kernel
+    # replaces the per-element-bound XLA gather on TPU serving (the top
+    # single op of the frame, PERF_NOTES round 3); grad and CPU runs and
+    # non-(128,128)/grid-1 configs keep the XLA formulation.
+    use_pallas = (
+        arch.crop_backend != "xla"
+        and not ctx.train
+        and arch.img_crop_sampling_ratio == 1
+        and tuple(arch.img_crop_hw) == (128, 128)
+        and norm_image.shape[0] >= 136
+        and norm_image.shape[1] >= 256
+        and (arch.crop_backend == "pallas" or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        from ..ops.pallas_crop import crop_rois_pallas
+
+        crops = crop_rois_pallas(
+            norm_image, boxes, arch.img_crop_hw,
+            # forced-"pallas" runs off-TPU (tests, CPU parity) go through the
+            # interpreter; Mosaic lowering is TPU-only.
+            interpret=jax.default_backend() != "tpu",
+        ).astype(arch.compute_dtype)
+    elif raw_image is not None and raw_image.dtype == jnp.uint8:
         crops = roi_align_rotated(
             raw_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
             sampling_ratio=arch.img_crop_sampling_ratio,
