@@ -138,7 +138,11 @@ class GlassRunner:
         returning raw (un-postprocessed) instances at the image's scale."""
         h, w = image.shape[:2]
         bh, bw = self._pick_bucket(h, w)
-        padded = np.zeros((bh, bw, 3), np.float32)
+        # keep a uint8 input uint8 — the model folds normalization into the
+        # raw-image crop gather on the f32-compute path (glass_rcnn.py
+        # use_raw) and uint8 quarters the upload bytes either way.
+        pad_dtype = np.uint8 if image.dtype == np.uint8 else np.float32
+        padded = np.zeros((bh, bw, 3), pad_dtype)
         padded[:h, :w] = image
         if self.cfg.TPU.TWO_STAGE_INFERENCE:
             out = self._run_two_stage(padded, (h, w))
@@ -193,23 +197,25 @@ class GlassRunner:
         # faster and equally precise post-quantization (glass_rcnn.py).
         raw = (
             jnp.asarray(padded)
-            if padded.dtype == np.uint8 and self.arch.compute_dtype == jnp.float32
+            if padded.dtype == np.uint8
+            and jnp.dtype(self.arch.compute_dtype) == jnp.float32
             else None
         )
-        if cap not in self._jit_heads:
+        hkey = (cap, raw is not None)  # arity differs with raw-ness
+        if hkey not in self._jit_heads:
             arch = self.arch
             if raw is None:
-                self._jit_heads[cap] = jax.jit(
+                self._jit_heads[hkey] = jax.jit(
                     lambda p, f, nm, bx: glass_heads_stage(arch, p, f, nm, bx)
                 )
             else:
-                self._jit_heads[cap] = jax.jit(
+                self._jit_heads[hkey] = jax.jit(
                     lambda p, f, nm, bx, rw: glass_heads_stage(
                         arch, p, f, nm, bx, raw_image=rw
                     )
                 )
         args = (self.params, feats, norm, jnp.asarray(boxes))
-        heads = self._jit_heads[cap](*args) if raw is None else self._jit_heads[cap](*args, raw)
+        heads = self._jit_heads[hkey](*args) if raw is None else self._jit_heads[hkey](*args, raw)
         heads = jax.device_get(heads)
 
         d = self.arch.detections_per_image

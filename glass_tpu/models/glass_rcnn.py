@@ -202,6 +202,10 @@ class GlassArch:
                     "pool (e.g. the default extractor instead, which emits "
                     "crop/16 x crop/4)."
                 )
+        def _grid(v):
+            # int-or-(h, w) bulk-grid configs; tuples for jit-static hashing
+            return tuple(v) if isinstance(v, (tuple, list)) else v
+
         return cls(
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
@@ -235,18 +239,12 @@ class GlassArch:
             pool_max_sampling_ratio=cfg.TPU.POOL_MAX_SAMPLING_RATIO,
             pool_bulk_sampling_ratio=cfg.TPU.POOL_BULK_SAMPLING_RATIO,
             pool_large_roi_budget=cfg.TPU.POOL_LARGE_ROI_BUDGET,
-            mask_pool_bulk_sampling_ratio=tuple(
+            mask_pool_bulk_sampling_ratio=_grid(
                 cfg.TPU.MASK_POOL_BULK_SAMPLING_RATIO
-            )
-            if isinstance(cfg.TPU.MASK_POOL_BULK_SAMPLING_RATIO, (tuple, list))
-            else cfg.TPU.MASK_POOL_BULK_SAMPLING_RATIO,
-            recognizer_pool_bulk_sampling_ratio=tuple(
+            ),
+            recognizer_pool_bulk_sampling_ratio=_grid(
                 cfg.TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO
-            )
-            if isinstance(
-                cfg.TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO, (tuple, list)
-            )
-            else cfg.TPU.RECOGNIZER_POOL_BULK_SAMPLING_RATIO,
+            ),
             max_word_len=rec.MAX_WORD_LENGTH,
             # attention adds [GO],[s]; ctc adds [blank] (text/codec.py)
             vocab_size=len(rec.CHARACTER_SET)
@@ -648,8 +646,11 @@ def glass_inference_single(
         # bf16-pair packed gather from the already-normalized image).
         # Under bf16 compute the crops get quantized to bf16 anyway, so
         # route through the normalized image and take the faster gather.
+        # NB: compute_dtype is a string config value — compare through
+        # jnp.dtype (a bare `== jnp.float32` silently never matches).
         use_raw = (
-            image.dtype == jnp.uint8 and arch.compute_dtype == jnp.float32
+            image.dtype == jnp.uint8
+            and jnp.dtype(arch.compute_dtype) == jnp.float32
         )
         probs = recognize_single_image(
             ctx, arch, params, feats, norm, det.boxes,

@@ -41,8 +41,9 @@ from ``roi_align_rotated`` in ``roi_align_rotated.py``.
 
 Forward-only (the serving path; training keeps the differentiable XLA
 gather).  Rois whose sampling bbox exceeds the 128x128 tile are pooled by
-a budgeted XLA fallback pass and scattered over the kernel output, the
-same split-capacity pattern as ``roi_align_rotated_adaptive``.
+an XLA fallback pass in budget-sized chunks (while_loop until every large
+roi is rescued — exact for ANY number of large rois; the budget only sets
+the per-iteration capacity).
 
 DMA alignment (measured on the v5e Mosaic toolchain): a dynamic slice of
 an HBM memref must have its offsets divisible by the (8, 128) tiling —
@@ -396,15 +397,36 @@ def crop_rois_pallas(
     )(scal, planar)
     crops = jnp.transpose(crops, (0, 2, 3, 1))  # (R, 128, 128, 3)
 
-    # Budgeted XLA fallback for rois whose sampling bbox exceeds the tile.
+    # XLA fallback for rois whose sampling bbox exceeds the tile — the
+    # kernel's taps clamp to the tile edge there, which would silently
+    # smear the crop.  Rescue in budget-sized chunks inside a while_loop
+    # so EVERY large roi is exact (one iteration in the common case;
+    # pathological images pay more iterations, never corruption).  A
+    # while_loop stays adaptive under vmap (trip count = worst image in
+    # the batch), unlike a cond, which vmap turns into both-branches.
     budget = min(large_roi_budget, r)
     if budget:
-        sel_flag, sel_idx = jax.lax.top_k(large.astype(jnp.int32), budget)
-        fine = roi_align_rotated(
-            image, rois[sel_idx], out_hw, spatial_scale=1.0, sampling_ratio=1
-        ).astype(crops.dtype)
-        keep = (sel_flag > 0)[:, None, None, None]
-        crops = crops.at[sel_idx].set(
-            jnp.where(keep, fine, crops[sel_idx]), mode="drop"
+
+        def _rescue(state):
+            crops, rescued = state
+            flags = large & ~rescued
+            sel_flag, sel_idx = jax.lax.top_k(flags.astype(jnp.int32), budget)
+            fine = roi_align_rotated(
+                image, rois[sel_idx], out_hw, spatial_scale=1.0, sampling_ratio=1
+            ).astype(crops.dtype)
+            keep = sel_flag > 0
+            crops = crops.at[sel_idx].set(
+                jnp.where(keep[:, None, None, None], fine, crops[sel_idx]),
+                mode="drop",
+            )
+            rescued = rescued.at[sel_idx].set(
+                rescued[sel_idx] | keep, mode="drop"
+            )
+            return crops, rescued
+
+        crops, _ = jax.lax.while_loop(
+            lambda st: jnp.any(large & ~st[1]),
+            _rescue,
+            (crops, jnp.zeros((r,), jnp.bool_)),
         )
     return crops

@@ -8,6 +8,7 @@ vectors in test_d2_golden_vectors.py).  Runs in interpret mode on CPU.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -163,3 +164,54 @@ def test_large_roi_fallback():
         [60.0, 50.0, 40.0, 20.0, 15.0],  # small one alongside
     ]
     _compare(_image(), rois)
+
+
+def test_large_rois_beyond_budget_still_exact():
+    # more large rois than one rescue chunk: the while_loop must keep
+    # rescuing until every one is exact (regression: a single budgeted
+    # pass silently left overflow rois with edge-smeared kernel output).
+    rng = np.random.RandomState(11)
+    n = 7
+    rois = np.stack(
+        [
+            rng.uniform(60, 160, n),
+            rng.uniform(60, 120, n),
+            rng.uniform(150, 210, n),   # width > tile for every roi
+            rng.uniform(20, 60, n),
+            rng.uniform(-30, 30, n),
+        ],
+        axis=1,
+    )
+    image = _image()
+    ref = roi_align_rotated(
+        image, jnp.asarray(rois, jnp.float32), (128, 128),
+        spatial_scale=1.0, sampling_ratio=1,
+    )
+    got = crop_rois_pallas(
+        image, jnp.asarray(rois, jnp.float32), (128, 128),
+        large_roi_budget=2, interpret=True,
+    )
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-4
+
+
+def test_vmap_batched_images():
+    # batched serving vmaps the whole model over images; the kernel (and
+    # its while_loop rescue) must survive vmap.
+    rng = np.random.RandomState(5)
+    images = jnp.asarray(rng.rand(2, 180, 220, 3).astype(np.float32))
+    rois = jnp.asarray(
+        np.stack(
+            [
+                [[60.0, 50.0, 40.0, 20.0, 10.0], [110.0, 90.0, 170.0, 30.0, -20.0]],
+                [[80.0, 70.0, 50.0, 18.0, 45.0], [100.0, 90.0, 24.0, 64.0, 135.0]],
+            ]
+        ).astype(np.float32)
+    )
+    got = jax.vmap(
+        lambda im, bx: crop_rois_pallas(im, bx, (128, 128), interpret=True)
+    )(images, rois)
+    for b in range(2):
+        ref = roi_align_rotated(
+            images[b], rois[b], (128, 128), spatial_scale=1.0, sampling_ratio=1
+        )
+        assert np.abs(np.asarray(got[b]) - np.asarray(ref)).max() < 1e-4
