@@ -151,7 +151,15 @@ def evaluate_image(
     gts: Sequence[EvalInstance],
     dets: Sequence[EvalInstance],
     word_spotting: bool = False,
+    detail: Optional[Dict[str, object]] = None,
 ) -> EvalTotals:
+    """One image's protocol totals.
+
+    If ``detail`` is given (a dict) it is filled with the reference's
+    per-sample debugging fields (text_eval_script.py:440-452): gt/det
+    transcriptions, don't-care index lists, and the matched (gt, det)
+    pairs of the E2E pass with their correctness.
+    """
     gt_dontcare, det_only_gt_dontcare = [], []
     gt_trans = []
     for i, g in enumerate(gts):
@@ -184,6 +192,7 @@ def evaluate_image(
 
     n_gt, n_det = len(gts), len(dets)
     det_correct = det_only_correct = 0
+    pairs: List[Dict[str, object]] = []
     if n_gt and n_det:
         iou = pairwise_polygon_iou(
             [g.points for g in gts], [d.points for d in dets]
@@ -212,6 +221,9 @@ def evaluate_image(
                         except Exception:
                             correct = False
                     det_correct += 1 if correct else 0
+                    pairs.append(
+                        {"gt": i, "det": j, "correct": bool(correct)}
+                    )
 
         gt_matched[:] = False
         det_matched[:] = False
@@ -227,6 +239,13 @@ def evaluate_image(
                     gt_matched[i] = True
                     det_matched[j] = True
                     det_only_correct += 1
+
+    if detail is not None:
+        detail["gt_trans"] = list(gt_trans)
+        detail["det_trans"] = [d.transcription for d in dets]
+        detail["gt_dont_care"] = list(gt_dontcare)
+        detail["det_dont_care"] = list(det_dontcare)
+        detail["pairs"] = pairs
 
     return EvalTotals(
         matched=det_correct,
@@ -249,6 +268,46 @@ def _prh(matched, gt_care, det_care):
     return {"precision": precision, "recall": recall, "hmean": hmean}
 
 
+def _prh_per_sample(matched, gt_care, det_care):
+    """Per-IMAGE P/R/H with the reference's zero-care convention
+    (text_eval_script.py:415-421): an image with no care gts counts
+    recall 1 (nothing to find), and precision 1 only when there are no
+    care detections either.  Dataset totals never use this — they divide
+    the global sums (``_prh``)."""
+    if gt_care == 0:
+        recall = 1.0
+        precision = 0.0 if det_care > 0 else 1.0
+    else:
+        recall = matched / gt_care
+        precision = 0.0 if det_care == 0 else matched / det_care
+    hmean = (
+        0.0
+        if precision + recall == 0
+        else 2.0 * precision * recall / (precision + recall)
+    )
+    return {"precision": precision, "recall": recall, "hmean": hmean}
+
+
+def compute_ap(confidences, matches, num_gt_care: int) -> float:
+    """Average precision over confidence-ranked detections
+    (text_eval_script.py:124-142).  Vestigial in the reference — its
+    CONFIDENCES flag is never enabled by the shipped configs and the
+    accumulation lists stay empty — but kept callable for parity."""
+    if len(confidences) == 0:
+        return 0.0
+    order = np.argsort(-np.asarray(confidences, np.float64))
+    matches = np.asarray(matches, bool)[order]
+    correct = 0
+    ap = 0.0
+    for n, match in enumerate(matches):
+        if match:
+            correct += 1
+            ap += correct / (n + 1)
+    if num_gt_care > 0:
+        ap /= num_gt_care
+    return ap
+
+
 def per_sample_detail(totals: EvalTotals) -> Dict[str, object]:
     """Per-image metric record (reference perSampleMetrics,
     text_eval_script.py:368-452 — the standard debugging artifact for
@@ -261,8 +320,10 @@ def per_sample_detail(totals: EvalTotals) -> Dict[str, object]:
         "det_only_gt_care": totals.det_only_gt_care,
         "det_only_det_care": totals.det_only_det_care,
     }
-    detail["e2e"] = _prh(totals.matched, totals.gt_care, totals.det_care)
-    detail["detection_only"] = _prh(
+    detail["e2e"] = _prh_per_sample(
+        totals.matched, totals.gt_care, totals.det_care
+    )
+    detail["detection_only"] = _prh_per_sample(
         totals.det_only_matched, totals.det_only_gt_care, totals.det_only_det_care
     )
     return detail
@@ -283,9 +344,14 @@ def evaluate_dataset(
     totals = EvalTotals()
     for key, gts in gt_per_image.items():
         dets = det_per_image.get(key, [])
-        image_totals = evaluate_image(gts, dets, word_spotting)
+        extra: Optional[Dict[str, object]] = (
+            {} if per_sample is not None else None
+        )
+        image_totals = evaluate_image(gts, dets, word_spotting, detail=extra)
         if per_sample is not None:
-            per_sample[key] = per_sample_detail(image_totals)
+            record = per_sample_detail(image_totals)
+            record.update(extra or {})
+            per_sample[key] = record
         totals.add(image_totals)
     return {
         "E2E_RESULTS": _prh(totals.matched, totals.gt_care, totals.det_care),

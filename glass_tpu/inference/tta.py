@@ -44,6 +44,22 @@ class GlassRunnerWithTTA:
             if self.flip:
                 yield resized[:, ::-1].copy(), scale, True
 
+    def eval_call(self, original_image: np.ndarray) -> Instances:
+        """Dataset-evaluation entry: same input-format handling and final
+        post-processing as ``GlassRunner.eval_call``, with the multi-view
+        detection merge in between (``--tta`` in ``tools/eval_glass.py``;
+        reference ``Trainer.test_with_TTA``, ``eval_glass.py:50-65``)."""
+        from ..utils.common import rgb2grey
+
+        if self.runner.input_format == "RGB":
+            original_image = original_image[:, :, ::-1]
+        if self.runner.input_format == "GREY":
+            original_image = rgb2grey(original_image, three_channels=True)
+        preds = self(original_image)
+        if self.runner.post_process_flag:
+            preds = self.runner.post_processor(preds)
+        return preds
+
     def __call__(self, image: np.ndarray) -> Instances:
         h, w = image.shape[:2]
         all_boxes: List[np.ndarray] = []

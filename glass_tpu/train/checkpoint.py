@@ -242,20 +242,29 @@ def save_checkpoint(directory: str, step: int, params: dict, opt_state=None, ext
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"ckpt_{step:07d}"))
-    if os.path.exists(path):
-        # Re-saving the same step must win (d2's PeriodicCheckpointer
-        # overwrites): happens on final-iteration saves that coincide with
-        # the periodic save, or when re-running into an output dir left by
-        # an interrupted run without --resume.
-        shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": params}
     if opt_state is not None:
         payload["opt_state"] = opt_state
     if extra is not None:
         payload["extra"] = extra
-    ckptr.save(path, payload)
-    ckptr.wait_until_finished()
+    if os.path.exists(path):
+        # Re-saving the same step must win (d2's PeriodicCheckpointer
+        # overwrites): happens on final-iteration saves that coincide with
+        # the periodic save, or when re-running into an output dir left by
+        # an interrupted run without --resume.  Write the replacement to a
+        # side path first so a crash mid-save never destroys the old
+        # checkpoint, then swap atomically-enough (rename after success).
+        tmp = path + ".replace"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ckptr.save(tmp, payload)
+        ckptr.wait_until_finished()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    else:
+        ckptr.save(path, payload)
+        ckptr.wait_until_finished()
     with open(os.path.join(directory, "last_checkpoint"), "w") as f:
         f.write(os.path.basename(path))
     return path

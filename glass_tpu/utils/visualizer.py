@@ -97,7 +97,8 @@ def visualize_html(
             polys = np.asarray(preds.pred_polygons, dtype=np.float64) * scale
         else:
             polys = boxes_to_polygons_np(np.asarray(preds.pred_boxes)) * scale
-        det_scores = np.asarray(preds.scores)
+        # explicit scores override the instances' own (e.g. re-ranked)
+        det_scores = np.asarray(scores) if len(scores) else np.asarray(preds.scores)
     else:
         polys = np.zeros((0, 4, 2))
         det_scores = np.zeros((0,))

@@ -163,3 +163,46 @@ def test_eval_instance_gather_payload_roundtrip():
     assert set(dets_a) == {"1", "2"}
     assert dets_a["2"][0].transcription == "other"
     np.testing.assert_allclose(dets_a["2"][0].points[2], [3, 3])
+
+
+def test_per_sample_zero_care_convention_and_detail():
+    # Reference per-sample convention (text_eval_script.py:415-421): an
+    # image with no care gts reports recall 1; precision 1 only when no
+    # care detections remain.  Dataset totals are unaffected (global sums).
+    from glass_tpu.evaluation.text_eval import per_sample_detail
+
+    gts = [EvalInstance(quad(0, 0, 20, 10), "###")]
+    dets_none = {}
+    per = {}
+    res = evaluate_dataset({"1": gts}, dets_none, per_sample=per)
+    assert per["1"]["e2e"] == {"precision": 1.0, "recall": 1.0, "hmean": 1.0}
+    assert res["E2E_RESULTS"]["recall"] == 0.0  # global stays sum-based
+
+    # one uncovered care det against zero care gts: precision 0, recall 1
+    dets = {"1": [EvalInstance(quad(100, 100, 20, 10), "stray")]}
+    per = {}
+    evaluate_dataset({"1": gts}, dets, per_sample=per)
+    assert per["1"]["e2e"]["recall"] == 1.0
+    assert per["1"]["e2e"]["precision"] == 0.0
+
+    # detail fields carry the reference's debugging artifacts
+    gts2 = [EvalInstance(quad(0, 0, 20, 10), "HELLO")]
+    dets2 = {"1": [EvalInstance(quad(0, 0, 20, 10), "hello")]}
+    per = {}
+    evaluate_dataset({"1": gts2}, dets2, per_sample=per)
+    rec = per["1"]
+    assert rec["gt_trans"] == ["HELLO"] and rec["det_trans"] == ["hello"]
+    assert rec["pairs"] == [{"gt": 0, "det": 0, "correct": True}]
+    assert rec["gt_dont_care"] == [] and rec["det_dont_care"] == []
+
+
+def test_compute_ap_reference_semantics():
+    # text_eval_script.py:124-142: running precision at each correct hit,
+    # ranked by descending confidence, normalized by care-gt count.
+    from glass_tpu.evaluation.text_eval import compute_ap
+
+    assert compute_ap([], [], 5) == 0.0
+    # hits at ranks 1 and 3 (after sorting by confidence desc)
+    ap = compute_ap([0.9, 0.5, 0.7], [True, True, False], 2)
+    # sorted: (0.9 T) (0.7 F) (0.5 T) -> 1/1 + 2/3, / 2
+    assert abs(ap - (1.0 + 2.0 / 3.0) / 2.0) < 1e-12

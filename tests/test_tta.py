@@ -35,3 +35,10 @@ def test_tta_merges_views():
     if len(preds):
         assert preds.has("pred_text_ids") or preds.has("pred_text_prob")
         assert np.isfinite(np.asarray(preds.pred_boxes)).all()
+
+    # the eval CLI's --tta entry: input-format handling + post-processing
+    # around the same multi-view merge
+    preds2 = tta.eval_call(img)
+    assert preds2.image_size == (80, 100)
+    if len(preds2):
+        assert np.isfinite(np.asarray(preds2.pred_boxes)).all()

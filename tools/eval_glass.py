@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--lexicon-pairs", default=None, help="types 1/2 pairs txt")
     p.add_argument("--strong-lexicon-dir", default=None,
                    help="type 3: dir of new_voc_img_<i>.txt / pair_voc_img_<i>.txt")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation (TEST.AUG multi-scale+flip; "
+                        "reference Trainer.test_with_TTA)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 runs batched (vmapped) inference per bucket")
@@ -96,6 +99,12 @@ def main():
     from glass_tpu.inference import GlassRunner
 
     runner = GlassRunner(model_path=args.model, cfg=cfg)
+    tta_runner = None
+    if args.tta or cfg.TEST.AUG.ENABLED:
+        from glass_tpu.inference.tta import GlassRunnerWithTTA
+
+        logger.info("Running inference with test-time augmentation ...")
+        tta_runner = GlassRunnerWithTTA(runner)
     lexicon = None
     if args.lexicon:
         lexicon = Lexicon.from_file(args.lexicon, weighted=args.weighted_ed)
@@ -142,7 +151,9 @@ def main():
                 batch_images.append(image)
             if not batch_images:
                 continue
-            if chunk == 1:
+            if tta_runner is not None:
+                preds_list = [tta_runner.eval_call(im) for im in batch_images]
+            elif chunk == 1:
                 preds_list = [runner.eval_call(batch_images[0])]
             else:
                 preds_list = runner.eval_batch_call(batch_images, batch_size=chunk)
