@@ -205,6 +205,10 @@ def rpn_losses(
     # Matcher overflow diagnostics (not losses — keys without the "loss"
     # prefix are excluded from the total and surfaced as metrics only).
     out.update({name: jnp.sum(v) for name, v in diag.items()})
+    # Reference training diagnostics (rotated_rpn.py:52-57): sampled
+    # positive/negative anchors per image.
+    out["rpn/num_pos_anchors"] = jnp.sum(pos_val.astype(jnp.float32)) / b
+    out["rpn/num_neg_anchors"] = jnp.sum(neg_val.astype(jnp.float32)) / b
     return out
 
 
@@ -360,6 +364,29 @@ def glass_train_forward(
     flat_valid = sel_valid.reshape(-1)
     flat_fg = fg_mask.reshape(-1)
     losses["loss_cls"] = LS.masked_cross_entropy(scores, flat_cls, flat_valid)
+
+    # Reference training diagnostics: per-image sampled fg/bg proposal
+    # counts (recognizers_hybrid_head.py:286-287) and the box-head accuracy
+    # family (rotated_fast_rcnn.py:374-397 ``_log_accuracy``): argmax
+    # accuracy over the sampled batch, fg-only accuracy, and fg rows
+    # predicted as background.
+    losses["roi_head/num_fg_samples"] = jnp.sum(flat_fg.astype(jnp.float32)) / b
+    losses["roi_head/num_bg_samples"] = (
+        jnp.sum((flat_valid & ~flat_fg).astype(jnp.float32)) / b
+    )
+    pred_cls = jnp.argmax(scores, axis=-1)
+    bg_ind = scores.shape[-1] - 1
+    num_inst = jnp.maximum(jnp.sum(flat_valid.astype(jnp.float32)), 1.0)
+    num_fg = jnp.maximum(jnp.sum(flat_fg.astype(jnp.float32)), 1.0)
+    losses["fast_rcnn/cls_accuracy"] = (
+        jnp.sum(((pred_cls == flat_cls) & flat_valid).astype(jnp.float32)) / num_inst
+    )
+    losses["fast_rcnn/fg_cls_accuracy"] = (
+        jnp.sum(((pred_cls == flat_cls) & flat_fg).astype(jnp.float32)) / num_fg
+    )
+    losses["fast_rcnn/false_negative"] = (
+        jnp.sum(((pred_cls == bg_ind) & flat_fg).astype(jnp.float32)) / num_fg
+    )
 
     gt_d = get_deltas(
         sampled_boxes.reshape(-1, 5), gt_boxes_per.reshape(-1, 5), arch.box_bbox_weights
@@ -525,6 +552,23 @@ def glass_train_forward(
             )
             * tcfg.mask_loss_weight
         )
+
+        # Reference training diagnostics (rotated_mask_head.py:384-396):
+        # 0.5-threshold pixel accuracy / false-positive / false-negative
+        # over the valid sampled instances.
+        gt_bool = targets > 0.5
+        incorrect = ((mask_logits > 0.0) != gt_bool) & elem_mask
+        n_el = jnp.maximum(jnp.sum(elem_mask.astype(jnp.float32)), 1.0)
+        n_pos = jnp.sum((gt_bool & elem_mask).astype(jnp.float32))
+        losses["mask_rcnn/accuracy"] = (
+            1.0 - jnp.sum(incorrect.astype(jnp.float32)) / n_el
+        )
+        losses["mask_rcnn/false_positive"] = jnp.sum(
+            (incorrect & ~gt_bool).astype(jnp.float32)
+        ) / jnp.maximum(n_el - n_pos, 1.0)
+        losses["mask_rcnn/false_negative"] = jnp.sum(
+            (incorrect & gt_bool).astype(jnp.float32)
+        ) / jnp.maximum(n_pos, 1.0)
 
     # Diagnostic entries (matcher_*) ride along in the dict as metrics but
     # do not contribute to the optimized objective.

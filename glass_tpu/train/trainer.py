@@ -253,7 +253,14 @@ class Trainer:
                 logger.info(
                     "iter %d  %s  lr %.5f  %.2f s/20it (data wait %.2f s)",
                     it,
-                    "  ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())),
+                    # d2 console convention: losses only; the full metric set
+                    # (rpn/fast_rcnn/mask_rcnn diagnostics) goes to
+                    # metrics.json via EventStorage above.
+                    "  ".join(
+                        f"{k}={v:.4f}"
+                        for k, v in sorted(metrics.items())
+                        if "/" not in k
+                    ),
                     lr,
                     dt,
                     data_wait,

@@ -81,10 +81,25 @@ def test_train_forward_losses(tiny_params):
         "loss_orientation", "loss_decoder", "loss_mask",
         # diagnostics ride along as metrics, excluded from the total
         "matcher_pool_dropped", "matcher_weak_dropped",
+        # reference EventStorage training diagnostics (rotated_rpn.py:52-57,
+        # rotated_fast_rcnn.py:374-397, rotated_mask_head.py:384-396)
+        "rpn/num_pos_anchors", "rpn/num_neg_anchors",
+        "roi_head/num_fg_samples", "roi_head/num_bg_samples",
+        "fast_rcnn/cls_accuracy", "fast_rcnn/fg_cls_accuracy",
+        "fast_rcnn/false_negative",
+        "mask_rcnn/accuracy", "mask_rcnn/false_positive",
+        "mask_rcnn/false_negative",
     }
     assert set(losses) == expected
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+    for k in ("fast_rcnn/cls_accuracy", "fast_rcnn/fg_cls_accuracy",
+              "mask_rcnn/accuracy"):
+        assert 0.0 <= float(losses[k]) <= 1.0, k
+    # sampled-anchor counts are bounded by the RPN batch size
+    assert 0.0 <= float(losses["rpn/num_pos_anchors"])
+    assert float(losses["rpn/num_pos_anchors"] + losses["rpn/num_neg_anchors"]) \
+        <= TINY_TCFG.rpn_batch_per_image + 1e-6
     assert np.isfinite(float(total))
     # the optimized objective sums only loss_* entries
     np.testing.assert_allclose(
