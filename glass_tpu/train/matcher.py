@@ -248,6 +248,41 @@ def _compact_flags(flags: jnp.ndarray, cap: int) -> Tuple[jnp.ndarray, jnp.ndarr
     return idx, targets <= row_cum[-1]
 
 
+def _compact_flags_hier(
+    flags: jnp.ndarray,
+    cap: int,
+    block: int = 1024,
+    live_cap: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hierarchical variant of ``_compact_flags`` for very sparse flags.
+
+    Candidate anchors cluster spatially (flags follow gt boxes through the
+    x-major anchor layout), so most ``block``-sized tiles are empty.  Level
+    1 compacts the ~nb live-block ids (tiny); level 2 gathers only the live
+    tiles (wide rows — efficient) and compacts within them, so the
+    expensive inner pass runs on ``live_cap * block`` elements instead of
+    the full N.  Index order (ascending) and the lowest-index-kept overflow
+    rule are preserved.
+
+    Exactness caveat vs the flat version: candidates in live blocks beyond
+    ``live_cap`` are dropped even when the pool has room.  The returned
+    ``n_dropped`` counts every flagged element lost to either overflow, so
+    the caller's ``matcher_pool_dropped`` diagnostic stays truthful.
+
+    Returns (idx (cap,), valid (cap,), n_dropped scalar).
+    """
+    n = flags.shape[0]
+    pad = (-n) % block
+    f2 = jnp.pad(flags, (0, pad)).reshape(-1, block)
+    blk_cnt = jnp.sum(f2.astype(jnp.int32), axis=1)
+    b_idx, b_val = _compact_flags(blk_cnt > 0, live_cap)
+    sub = f2[b_idx] & b_val[:, None]  # (live_cap, block)
+    idx_l, val_l = _compact_flags(sub.reshape(-1), cap)
+    gidx = jnp.minimum(b_idx[idx_l // block] * block + idx_l % block, n - 1)
+    n_dropped = jnp.sum(blk_cnt) - jnp.sum(val_l.astype(jnp.int32))
+    return gidx, val_l, n_dropped
+
+
 def rpn_label_anchors(
     gt_boxes: jnp.ndarray,
     gt_valid: jnp.ndarray,

@@ -239,3 +239,46 @@ def test_subsample_labels_idx_matches_masks(rng):
     got_neg = set(np.asarray(neg_idx)[np.asarray(neg_val)].tolist())
     assert got_pos == set(np.flatnonzero(np.asarray(pos_mask)).tolist())
     assert got_neg == set(np.flatnonzero(np.asarray(neg_mask)).tolist())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_compact_flags_hier_matches_flat(seed, rng=None):
+    # clustered sparse flags (the anchor-candidate shape): hier must return
+    # exactly the flat result whenever no live block overflows
+    from glass_tpu.train.matcher import _compact_flags, _compact_flags_hier
+
+    rng = np.random.RandomState(seed)
+    n = 60_000
+    flags = np.zeros(n, bool)
+    for _ in range(6):  # 6 clusters of ~600
+        c = rng.randint(0, n - 800)
+        flags[c : c + 600] = rng.rand(600) < 0.7
+    f = jnp.asarray(flags)
+    cap = 4096
+    idx_f, val_f = _compact_flags(f, cap)
+    idx_h, val_h, dropped = _compact_flags_hier(f, cap, block=1024, live_cap=64)
+    np.testing.assert_array_equal(np.asarray(val_f), np.asarray(val_h))
+    k = int(np.asarray(val_f).sum())
+    np.testing.assert_array_equal(np.asarray(idx_f)[:k], np.asarray(idx_h)[:k])
+    assert int(dropped) == max(int(flags.sum()) - cap, 0)
+
+
+def test_compact_flags_hier_overflow_accounting():
+    from glass_tpu.train.matcher import _compact_flags_hier
+
+    n = 40_000
+    block = 1024
+    flags = np.zeros(n, bool)
+    # 5 live blocks, live_cap=3: two whole blocks must be dropped and
+    # counted, lowest-index blocks kept
+    for b in range(5):
+        flags[b * 4096] = True
+        flags[b * 4096 + 7] = True
+    idx, val, dropped = _compact_flags_hier(
+        jnp.asarray(flags), cap=64, block=block, live_cap=3
+    )
+    assert int(val.sum()) == 6
+    np.testing.assert_array_equal(
+        np.asarray(idx)[:6], [0, 7, 4096, 4103, 8192, 8199]
+    )
+    assert int(dropped) == 4
