@@ -19,6 +19,7 @@ for convs, normal(0.01) for heads).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -117,6 +118,84 @@ def linear(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = No
     return out
 
 
+def _max_pool_fwd_raw(x, kernel, stride, padding):
+    pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
+    # -inf (not finfo.min) so XLA recognizes the max-pool pattern.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, kernel[0], kernel[1], 1),
+        window_strides=(1, stride[0], stride[1], 1),
+        padding=pads,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool2d_densegrad(x, kernel, stride, padding):
+    """reduce_window max forward + a dense backward.
+
+    XLA's native max-pool VJP is SelectAndScatter — measured slow on TPU
+    (the stem pool's fwd+bwd was ~6 ms/step of the 1024² train step).  The
+    replacement backward routes each output's cotangent to its window's
+    FIRST maximum (row-major scan order — SelectAndScatter's exact tie
+    rule, verified against jax.grad on CPU) using only strided slices,
+    compares and static pads: per window offset k, the winner mask is
+    ``w_k == y`` minus any earlier-offset winner, and the cotangent is
+    placed back with an interior-dilated pad.  All dense, fusable, no
+    scatter.  (Distinct from the rejected max-CHAIN variant, which changed
+    the forward itself: 115.5 -> 122.8 ms/step.  This keeps the forward.)
+    """
+    return _max_pool_fwd_raw(x, kernel, stride, padding)
+
+
+def _max_pool2d_densegrad_fwd(x, kernel, stride, padding):
+    y = _max_pool_fwd_raw(x, kernel, stride, padding)
+    return y, (x, y)
+
+
+def _max_pool2d_densegrad_bwd(kernel, stride, padding, res, dy):
+    x, y = res
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    n, h, w, c = x.shape
+    ho, wo = y.shape[1], y.shape[2]
+    hp, wp = h + 2 * ph, w + 2 * pw
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), constant_values=neg)
+
+    taken = jnp.zeros(y.shape, jnp.bool_)
+    dxp = jnp.zeros((n, hp, wp, c), dy.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            wk = jax.lax.slice(
+                xp,
+                (0, i, j, 0),
+                (n, i + sh * (ho - 1) + 1, j + sw * (wo - 1) + 1, c),
+                (1, sh, sw, 1),
+            )
+            win = (wk == y) & ~taken
+            taken = taken | win
+            gk = jnp.where(win, dy, 0)
+            dxp = dxp + jax.lax.pad(
+                gk,
+                jnp.asarray(0, dy.dtype),
+                (
+                    (0, 0, 0),
+                    (i, hp - (i + sh * (ho - 1) + 1), sh - 1),
+                    (j, wp - (j + sw * (wo - 1) + 1), sw - 1),
+                    (0, 0, 0),
+                ),
+            )
+    dx = dxp[:, ph : ph + h, pw : pw + w, :]
+    return (dx,)
+
+
+_max_pool2d_densegrad.defvjp(_max_pool2d_densegrad_fwd, _max_pool2d_densegrad_bwd)
+
+
 def max_pool2d(
     x: jnp.ndarray,
     kernel: Sequence[int] | int,
@@ -131,19 +210,9 @@ def max_pool2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
-    pads = ((0, 0), (padding[0], padding[0]), (padding[1], padding[1]), (0, 0))
-    # -inf (not finfo.min) so XLA recognizes the max-pool pattern and the
-    # select-and-scatter autodiff rule applies. (A shifted-slice max chain
-    # with dense select grads measured WORSE: 115.5 -> 122.8 ms/step.)
-    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return jax.lax.reduce_window(
-        x,
-        neg,
-        jax.lax.max,
-        window_dimensions=(1, kernel[0], kernel[1], 1),
-        window_strides=(1, stride[0], stride[1], 1),
-        padding=pads,
-    )
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return _max_pool2d_densegrad(x, tuple(kernel), tuple(stride), tuple(padding))
+    return _max_pool_fwd_raw(x, kernel, stride, padding)
 
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,7 +1,9 @@
 """Parity tests of the functional layer library against torch CPU."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+import pytest
 import torch
 
 from glass_tpu.models import layers as L
@@ -138,3 +140,40 @@ def test_upsample_nearest(rng):
     ).permute(0, 2, 3, 1).numpy()
     got = np.asarray(L.upsample_nearest_2x(jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "kernel,stride,pad,shape",
+    [
+        ((3, 3), (2, 2), (1, 1), (2, 17, 19, 5)),   # resnet stem shape family
+        ((2, 2), (2, 2), (0, 0), (1, 16, 16, 3)),   # local-extractor pools
+        ((2, 2), (2, 1), (0, 1), (1, 12, 10, 4)),   # rect pool (V1_RECT)
+    ],
+)
+def test_max_pool_dense_grad_matches_select_and_scatter(kernel, stride, pad, shape):
+    # the custom dense backward must reproduce XLA's SelectAndScatter VJP
+    # exactly, including the first-in-scan-order tie rule — quantized
+    # inputs force plenty of intra-window ties
+    from glass_tpu.models.layers import _max_pool_fwd_raw, max_pool2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(np.round(rng.rand(*shape) * 4) / 4, jnp.float32)
+    dy_seed = jnp.asarray(rng.rand(*np.asarray(
+        _max_pool_fwd_raw(x, kernel, stride, pad)).shape), jnp.float32)
+
+    def loss_ref(x):
+        return jnp.sum(_max_pool_fwd_raw(x, kernel, stride, pad) * dy_seed)
+
+    def loss_new(x):
+        return jnp.sum(max_pool2d(x, kernel, stride, pad) * dy_seed)
+
+    y_ref = _max_pool_fwd_raw(x, kernel, stride, pad)
+    y_new = max_pool2d(x, kernel, stride, pad)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
+    g_ref = np.asarray(jax.grad(loss_ref)(x))
+    g_new = np.asarray(jax.grad(loss_new)(x))
+    # identical routing (same winner in every window — the tie rule), with
+    # ulp-level slack where a pixel accumulates several windows' cotangents
+    # in a different summation order
+    np.testing.assert_array_equal(g_ref != 0, g_new != 0)
+    np.testing.assert_allclose(g_ref, g_new, rtol=1e-6, atol=1e-7)
