@@ -476,6 +476,16 @@ def get_default_config() -> CN:
     # (matcher.auto_match_pool: ~416 candidates/gt, floor 16384 — exact in
     # gt-dense regimes at ~25% extra step time).
     _C.TPU.MATCH_POOL = 16384
+    # RPN anchor-matcher backend: "scan" (blockwise bound over the full
+    # anchor axis) or "tiled" (hierarchical tile pre-filter — the bound
+    # first runs on ~400*K inflated tile covers, then only live tiles'
+    # anchors are materialized; exact up to the same pool rules, see
+    # matcher.rpn_label_anchors_tiled).
+    _C.TPU.MATCH_BACKEND = "scan"
+    # Live-tile pool capacity of the tiled matcher (each tile covers 16x16
+    # grid cells of one cell-anchor type); overflow is surfaced as the
+    # `matcher_tile_dropped` metric.
+    _C.TPU.MATCH_TILE_CAP = 512
     # Box/mask pooler kernel backend: "xla" (packed-pyramid gather,
     # default) or "pallas" (DMA-tile kernel — bit-exact alternative,
     # measured slower on v5e; see ops/pallas_roi_align.py).

@@ -19,10 +19,11 @@ candidate sets with validity masks:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.iou_rotated import (
     pairwise_iou_rotated,
@@ -65,17 +66,24 @@ def matcher_assign(
 
 
 def _pairwise_iou_upper_bound(
-    boxes1: jnp.ndarray, boxes2: jnp.ndarray
+    boxes1: jnp.ndarray, boxes2: jnp.ndarray, area2: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
     """(M,5) x (N,5) XYWHA -> (M,N) provable upper bound of rotated IoU.
 
     Oriented-slab bound: in box1's frame the intersection region lies inside
     the overlap of the two boxes' axis projections, so its area is at most
-    ``overlap_u * overlap_v`` — and symmetrically in box2's frame.  With
-    ``I <= B = min(B1frame, B2frame)`` (note B <= min(S1, S2)), monotonicity
-    of ``I / (S1 + S2 - I)`` gives ``IoU <= B / (S1 + S2 - B)``.  Exact when
+    ``overlap_u * overlap_v`` — and symmetrically in box2's frame.  The
+    intersection also fits inside either box, so with
+    ``m = min(B1frame, B2frame, S1, S2) >= I``, monotonicity of
+    ``I / (S1 + S2 - I)`` gives ``IoU <= m / (S1 + S2 - m)``.  Exact when
     the boxes are parallel; tight enough at anchor scale to shrink the
     candidate pool ~10x vs an AABB-intersection bound.
+
+    ``area2`` overrides the area ascribed to ``boxes2`` (both in the cap and
+    in the union denominator).  The tiled matcher passes the TRUE anchor
+    area while ``boxes2`` are spatially INFLATED tile covers: the inflation
+    may only enlarge the intersection bound, and using the true area keeps
+    ``m / (S1 + S2_true - m)`` an upper bound of every covered anchor's IoU.
 
     All cross terms are rank-2 outer products / (M,2)@(2,N) contractions —
     no (M,N,·) intermediates beyond the (M,N) maps themselves.
@@ -129,9 +137,12 @@ def _pairwise_iou_upper_bound(
     r1_v = w1[:, None] * sd + h1[:, None] * cd
     b2 = frame_bound(w2[None, :], h2[None, :], eu, ev, r1_u, r1_v)
 
-    bound = jnp.minimum(b1, b2)  # >= rotated intersection area
     area1 = boxes1[:, 2] * boxes1[:, 3]
-    area2 = boxes2[:, 2] * boxes2[:, 3]
+    if area2 is None:
+        area2 = boxes2[:, 2] * boxes2[:, 3]
+    bound = jnp.minimum(b1, b2)  # >= rotated intersection area
+    # intersection <= each box's own area — cap tightens the bound further
+    bound = jnp.minimum(bound, jnp.minimum(area1[:, None], area2[None, :]))
     denom = jnp.maximum(area1[:, None] + area2[None, :] - bound, 1e-12)
     return bound / denom
 
@@ -142,6 +153,7 @@ def _blockwise_bound_reduce(
     anchors: jnp.ndarray,
     thr: jnp.ndarray = None,
     block: int = 32,
+    area2: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Reduce the (G, A) IoU-bound matrix over G without materializing it.
 
@@ -154,7 +166,7 @@ def _blockwise_bound_reduce(
     """
     g = gt_boxes.shape[0]
     if g <= block:
-        ub = _pairwise_iou_upper_bound(gt_boxes, anchors) * gt_valid[:, None]
+        ub = _pairwise_iou_upper_bound(gt_boxes, anchors, area2) * gt_valid[:, None]
         if thr is None:
             return jnp.max(ub, axis=0)
         return jnp.any(ub >= thr[:, None], axis=0)
@@ -174,7 +186,7 @@ def _blockwise_bound_reduce(
             gt_b, gv_b, th_b = xs
 
             def live(c):
-                ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
+                ub = _pairwise_iou_upper_bound(gt_b, anchors, area2) * gv_b[:, None]
                 return c | jnp.any(ub >= th_b[:, None], axis=0)
 
             return jax.lax.cond(jnp.any(gv_b), live, lambda c: c, carry), None
@@ -190,7 +202,7 @@ def _blockwise_bound_reduce(
         gt_b, gv_b = xs
 
         def live(c):
-            ub = _pairwise_iou_upper_bound(gt_b, anchors) * gv_b[:, None]
+            ub = _pairwise_iou_upper_bound(gt_b, anchors, area2) * gv_b[:, None]
             return jnp.maximum(c, jnp.max(ub, axis=0))
 
         return jax.lax.cond(jnp.any(gv_b), live, lambda c: c, carry), None
@@ -377,6 +389,30 @@ def rpn_label_anchors(
     iou = jnp.concatenate([iou1, iou2], axis=1)  # (G, P)
     cat_idx = jnp.concatenate([idx1, idx2])
     cat_val = jnp.concatenate([val1, val2])
+
+    # Return the gt INDEX per anchor, not the gathered (A, 5) boxes: only
+    # the ~rpn_batch_per_image sampled anchors ever need their matched box,
+    # and the full 1M x 5 narrow-row gather measured ~4.5 ms/step on v5e.
+    labels, matched_gt_idx = _labels_from_pools(iou, cat_idx, cat_val, a, g, lo, hi)
+    return labels, matched_gt_idx, diag
+
+
+def _labels_from_pools(
+    iou: jnp.ndarray,
+    cat_idx: jnp.ndarray,
+    cat_val: jnp.ndarray,
+    a: int,
+    g: int,
+    lo: float,
+    hi: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pool (G, P) exact IoUs + anchor ids -> per-anchor labels/matched gt.
+
+    Scatter-max back onto the (A,) axis; the packed-key trick recovers the
+    argmax gt without a second pass.  Duplicate anchor ids across pool
+    slots are harmless (scatter-max is idempotent; both slots carry the
+    same column).  Anchors outside every pool are provably background.
+    """
     cat_safe = jnp.where(cat_val, cat_idx, a)  # invalid slots scatter-drop
 
     # Per-anchor max IoU (scatter-max) and argmax gt via packed keys.
@@ -398,10 +434,223 @@ def rpn_label_anchors(
         jnp.any(is_best, axis=0), mode="drop"
     )
     labels = jnp.where(lq, 1, labels)
+    return labels, matched_gt_idx
 
-    # Return the gt INDEX per anchor, not the gathered (A, 5) boxes: only
-    # the ~rpn_batch_per_image sampled anchors ever need their matched box,
-    # and the full 1M x 5 narrow-row gather measured ~4.5 ms/step on v5e.
+
+def _tile_tables(level_specs: Sequence, T: int) -> dict:
+    """Static per-(level, tile, cell-anchor) tables for the tiled matcher.
+
+    ``level_specs``: sequence of ``(grid_h, grid_w, stride, cell_anchors,
+    offset)`` in anchor-concatenation order (``cell_anchors``: (K, 5) numpy
+    XYWHA at the origin, as from ``generate_cell_anchors``).  Returns numpy
+    arrays with one row per (level, tile_y, tile_x, cell) in that nesting
+    order — cell innermost, like the global anchor order's innermost axis,
+    but tiles group (y, x) blocks, so the row order differs from the global
+    anchor order; the difference only affects WHICH candidates survive a
+    pool overflow (counted either way).
+
+    The "box" column is the tile COVER: every anchor of that cell type
+    whose center lies in the tile is geometrically contained in it.  Anchor
+    centers span at most +-ex = (T-1)/2 * stride around the tile center
+    along each image axis, and a center offset d shifts the box by at most
+    |d . u| <= ex * (|cos a| + |sin a|) along each of its own axes — so
+    inflating the cell anchor by that much at the tile center contains
+    them all, and the slab bound on the cover (with the TRUE anchor area,
+    see ``_pairwise_iou_upper_bound``) upper-bounds every covered anchor's
+    IoU against any gt.  Edge tiles reuse the full-tile cover (a superset).
+    """
+    keys = (
+        "box", "area", "stride", "off", "aoff", "ty", "tx", "H", "W", "K",
+        "kid", "w", "h", "theta",
+    )
+    cols = {k: [] for k in keys}
+    aoff = 0
+    for grid_h, grid_w, stride, cell, offset in level_specs:
+        cell = np.asarray(cell, np.float32)
+        K = cell.shape[0]
+        nty = -(-grid_h // T)
+        ntx = -(-grid_w // T)
+        ty, tx = np.meshgrid(np.arange(nty), np.arange(ntx), indexing="ij")
+        ty = np.repeat(ty.reshape(-1), K)
+        tx = np.repeat(tx.reshape(-1), K)
+        kid = np.tile(np.arange(K), nty * ntx)
+        w, h, theta = cell[kid, 2], cell[kid, 3], cell[kid, 4]
+        ex = (T - 1) / 2.0 * stride
+        rad = np.deg2rad(theta)
+        infl = ex * (np.abs(np.cos(rad)) + np.abs(np.sin(rad)))
+        cx = (tx * T + (T - 1) / 2.0 + offset) * stride
+        cy = (ty * T + (T - 1) / 2.0 + offset) * stride
+        n = ty.size
+        cols["box"].append(
+            np.stack([cx, cy, w + 2 * infl, h + 2 * infl, theta], 1).astype(
+                np.float32
+            )
+        )
+        cols["area"].append((w * h).astype(np.float32))
+        cols["stride"].append(np.full(n, stride, np.float32))
+        cols["off"].append(np.full(n, offset, np.float32))
+        cols["aoff"].append(np.full(n, aoff, np.int32))
+        cols["ty"].append(ty.astype(np.int32))
+        cols["tx"].append(tx.astype(np.int32))
+        cols["H"].append(np.full(n, grid_h, np.int32))
+        cols["W"].append(np.full(n, grid_w, np.int32))
+        cols["K"].append(np.full(n, K, np.int32))
+        cols["kid"].append(kid.astype(np.int32))
+        cols["w"].append(w)
+        cols["h"].append(h)
+        cols["theta"].append(theta)
+        aoff += grid_h * grid_w * K
+    out = {k: np.concatenate(v) for k, v in cols.items()}
+    out["num_anchors"] = aoff
+    return out
+
+
+def _materialize_tile_anchors(tab: dict, t_idx: jnp.ndarray, t_val: jnp.ndarray, T: int):
+    """Pooled (tile, cell) slots -> their T*T anchors, analytically.
+
+    Anchors are a pure function of their index, so no gather ever touches
+    the (A, 5) anchor array.  Returns ``(boxes (C*T*T, 5), gidx (C*T*T,)
+    global anchor ids, valid (C*T*T,))``; cells beyond the level's grid
+    (edge tiles) come back invalid.
+    """
+    C = t_idx.shape[0]
+
+    def g(k):
+        return tab[k][t_idx]  # (C,) — tiny gathers from the static tables
+
+    ii = jnp.arange(T * T, dtype=jnp.int32) // T
+    jj = jnp.arange(T * T, dtype=jnp.int32) % T
+    gy = g("ty")[:, None] * T + ii[None, :]  # (C, T*T)
+    gx = g("tx")[:, None] * T + jj[None, :]
+    valid = t_val[:, None] & (gy < g("H")[:, None]) & (gx < g("W")[:, None])
+    cx = (gx.astype(jnp.float32) + g("off")[:, None]) * g("stride")[:, None]
+    cy = (gy.astype(jnp.float32) + g("off")[:, None]) * g("stride")[:, None]
+    t2 = T * T
+    boxes = jnp.stack(
+        [
+            cx,
+            cy,
+            jnp.broadcast_to(g("w")[:, None], (C, t2)),
+            jnp.broadcast_to(g("h")[:, None], (C, t2)),
+            jnp.broadcast_to(g("theta")[:, None], (C, t2)),
+        ],
+        -1,
+    ).reshape(-1, 5)
+    gidx = (
+        g("aoff")[:, None]
+        + (gy * g("W")[:, None] + gx) * g("K")[:, None]
+        + g("kid")[:, None]
+    )
+    return boxes, gidx.reshape(-1), valid.reshape(-1)
+
+
+def rpn_label_anchors_tiled(
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    level_specs: Sequence,
+    thresholds: Tuple[float, float] = (0.3, 0.7),
+    k: int = 16384,
+    tile_cap: int = 512,
+    tile: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """``rpn_label_anchors`` behind a hierarchical tile pre-filter.
+
+    Same contract and (absent overflow) identical output as
+    ``rpn_label_anchors``, but no full-anchor-axis pass ever runs: the
+    bound is first evaluated on ~400 * K inflated TILE COVERS (each
+    conservatively upper-bounds all T*T anchors of one cell type in one
+    spatial tile — proof in ``_tile_tables``), live tiles are compacted to
+    ``tile_cap`` slots, their anchors materialized analytically
+    (tile_cap * T^2 candidates, e.g. 131k vs A=1.05M at 1024^2), and the
+    exact per-anchor bound + pool compaction run on that set only.  The
+    low-quality rescue round repeats the scheme with per-weak-gt
+    thresholds into a ``k // 4`` pool.
+
+    Exact whenever no pool overflows.  Overflow differs from the flat
+    path in WHICH candidates are kept (tile-pool order vs ascending anchor
+    index) and is surfaced via ``matcher_tile_dropped`` (live tiles beyond
+    ``tile_cap``; each may hide up to T*T candidates) next to the shared
+    ``matcher_pool_dropped`` / ``matcher_weak_dropped`` counters.
+
+    TPU.MATCH_BACKEND="tiled" selects this path (reference semantics
+    matched: dense G x A rotated-IoU matching of
+    /root/reference/glass/modeling/matcher.py:38-83).
+    """
+    g = gt_boxes.shape[0]
+    lo, hi = thresholds
+    assert g <= 1024, "packed argmax keys support up to 1024 gt rows"
+    tab_np = _tile_tables(level_specs, tile)
+    a = tab_np["num_anchors"]
+    tab = {
+        key: jnp.asarray(v)
+        for key, v in tab_np.items()
+        if key != "num_anchors"
+    }
+
+    # Round 1: live tile covers -> candidate anchors -> exact-bound pool.
+    tflags = (
+        _blockwise_bound_reduce(gt_boxes, gt_valid, tab["box"], area2=tab["area"])
+        >= lo - 1e-4
+    )
+    nt1 = jnp.sum(tflags.astype(jnp.int32))
+    t_idx, t_val = _compact_flags(tflags, tile_cap)
+    cboxes, cgidx, cvalid = _materialize_tile_anchors(tab, t_idx, t_val, tile)
+    ub_c = _blockwise_bound_reduce(gt_boxes, gt_valid, cboxes)
+    flags_c = (ub_c >= lo - 1e-4) & cvalid
+    n1 = jnp.sum(flags_c.astype(jnp.int32))
+    idx_c, val1 = _compact_flags(flags_c, k)
+    pool1_boxes = cboxes[idx_c]
+    idx1 = cgidx[idx_c]
+    iou1 = pairwise_iou_rotated_rowmasked(gt_boxes, gt_valid, pool1_boxes)
+    iou1 = iou1 * val1[None, :]
+    best1 = jnp.max(iou1, axis=1)  # (G,) lower bound of each gt's true best
+
+    # Round 2: low-quality rescue for weak gts (same semantics as the flat
+    # path; the ~(ub >= lo) exclusion reproduces its ~flags1 — any anchor
+    # whose bound clears lo already sits in pool 1 when nothing overflowed).
+    weak = (best1 < lo) & gt_valid
+    weak_cap = min(g, max(32, g // 4))
+    n_weak = jnp.sum(weak.astype(jnp.int32))
+    w_idx, w_val = _compact_flags(weak, weak_cap)
+    weak_thr = jnp.maximum(best1[w_idx] - 1e-4, 1e-4)
+    tflags2 = _blockwise_bound_reduce(
+        gt_boxes[w_idx], w_val, tab["box"], thr=weak_thr, area2=tab["area"]
+    )
+    nt2 = jnp.sum(tflags2.astype(jnp.int32))
+    # Full tile capacity for the rescue round: each weak gt flags tiles at
+    # its own (usually tiny) threshold, so nt2 can exceed nt1's live count
+    # even though the final k2 pool is k // 4 (the per-tile candidate pass
+    # is cheap relative to a missed rescue).
+    tile_cap2 = tile_cap
+    t2_idx, t2_val = _compact_flags(tflags2, tile_cap2)
+    c2boxes, c2gidx, c2valid = _materialize_tile_anchors(tab, t2_idx, t2_val, tile)
+    hit2 = _blockwise_bound_reduce(gt_boxes[w_idx], w_val, c2boxes, thr=weak_thr)
+    ub2 = _blockwise_bound_reduce(gt_boxes, gt_valid, c2boxes)
+    flags2_c = hit2 & ~(ub2 >= lo - 1e-4) & c2valid
+    k2 = max(k // 4, 1)
+    n2 = jnp.sum(flags2_c.astype(jnp.int32))
+    idx2_c, val2 = _compact_flags(flags2_c, k2)
+    pool2_boxes = c2boxes[idx2_c]
+    idx2 = c2gidx[idx2_c]
+    iou2 = pairwise_iou_rotated_rowmasked(gt_boxes, gt_valid, pool2_boxes)
+    iou2 = iou2 * val2[None, :]
+
+    diag = {
+        "matcher_pool_dropped": (
+            jnp.maximum(n1 - k, 0) + jnp.maximum(n2 - k2, 0)
+        ).astype(jnp.float32),
+        "matcher_weak_dropped": jnp.maximum(n_weak - weak_cap, 0).astype(
+            jnp.float32
+        ),
+        "matcher_tile_dropped": (
+            jnp.maximum(nt1 - tile_cap, 0) + jnp.maximum(nt2 - tile_cap2, 0)
+        ).astype(jnp.float32),
+    }
+
+    iou = jnp.concatenate([iou1, iou2], axis=1)
+    cat_idx = jnp.concatenate([idx1, idx2])
+    cat_val = jnp.concatenate([val1, val2])
+    labels, matched_gt_idx = _labels_from_pools(iou, cat_idx, cat_val, a, g, lo, hi)
     return labels, matched_gt_idx, diag
 
 

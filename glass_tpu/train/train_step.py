@@ -50,6 +50,7 @@ from .matcher import (
     auto_match_pool,
     matcher_assign,
     rpn_label_anchors,
+    rpn_label_anchors_tiled,
     subsample_labels,
     subsample_labels_idx,
 )
@@ -79,6 +80,8 @@ class TrainConfig:
     masks_per_image: int = 128
     mask_size: int = 28
     match_topk: int = 16384  # exact-IoU anchor-match pool (TPU.MATCH_POOL)
+    match_backend: str = "scan"  # TPU.MATCH_BACKEND: scan | tiled
+    match_tile_cap: int = 512  # TPU.MATCH_TILE_CAP (tiled backend)
 
     @classmethod
     def from_config(cls, cfg) -> "TrainConfig":
@@ -113,6 +116,8 @@ class TrainConfig:
                 if cfg.TPU.MATCH_POOL > 0
                 else auto_match_pool(cfg.TPU.MAX_GT_INSTANCES)
             ),
+            match_backend=cfg.TPU.MATCH_BACKEND,
+            match_tile_cap=cfg.TPU.MATCH_TILE_CAP,
         )
 
 
@@ -145,21 +150,32 @@ def rpn_losses(
     gt_boxes: jnp.ndarray,
     gt_valid: jnp.ndarray,
     keys: jnp.ndarray,
+    level_specs=None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched RPN losses (reference rotated_rpn.py:20-91).
 
     logits: (B, A); deltas: (B, A, 5); anchors: (A, 5);
     gt_boxes: (B, G, 5); keys: (B,) rng keys.
+    level_specs: static per-level anchor-grid metadata
+    ((grid_h, grid_w, stride, cell_anchors, offset), ...) — required for
+    the tiled matcher backend (TPU.MATCH_BACKEND="tiled").
     """
     b = logits.shape[0]
+    use_tiled = tcfg.match_backend == "tiled" and level_specs is not None
 
     # Losses touch only the ~rpn_batch_per_image sampled anchors; gather
     # their indices and compute deltas/BCE on the sampled set (the full
     # 1M-anchor get_deltas + masked losses measured ~8 ms/step on v5e).
     def per_image(gt_b, gt_v, key):
-        labels, matched_idx, diag = rpn_label_anchors(
-            gt_b, gt_v, anchors, k=tcfg.match_topk
-        )
+        if use_tiled:
+            labels, matched_idx, diag = rpn_label_anchors_tiled(
+                gt_b, gt_v, level_specs,
+                k=tcfg.match_topk, tile_cap=tcfg.match_tile_cap,
+            )
+        else:
+            labels, matched_idx, diag = rpn_label_anchors(
+                gt_b, gt_v, anchors, k=tcfg.match_topk
+            )
         pos_idx, pos_val, neg_idx, neg_val = subsample_labels_idx(
             key, labels, tcfg.rpn_batch_per_image, tcfg.rpn_positive_fraction
         )
@@ -255,12 +271,14 @@ def glass_train_forward(
         ctx, params["proposal_generator"]["rpn_head"], rpn_features
     )
     anchors_l = []
+    level_specs = []
     for i, fname in enumerate(arch.rpn_in_features):
         stride = FPN_LEVEL_STRIDES[fname]
         h, w = rpn_features[i].shape[1], rpn_features[i].shape[2]
         cell = rpn_mod.generate_cell_anchors(
             arch.anchor_sizes[i], arch.anchor_aspects, arch.anchor_angles
         )
+        level_specs.append((h, w, stride, cell, arch.anchor_offset))
         anchors_l.append(
             jnp.asarray(
                 rpn_mod.generate_anchors_for_level(h, w, stride, cell, arch.anchor_offset)
@@ -275,6 +293,7 @@ def glass_train_forward(
     losses = rpn_losses(
         arch, tcfg, logits, deltas, anchors,
         batch["gt_boxes"], batch["gt_valid"], jax.random.split(keys[0], b),
+        level_specs=tuple(level_specs),
     )
 
     # ---- proposals (stop-gradient, as in the reference) ----------------
