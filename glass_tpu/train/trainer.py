@@ -245,6 +245,13 @@ class Trainer:
                         "or set it to 0 (auto-size from MAX_GT_INSTANCES)",
                         metrics["matcher_pool_dropped"],
                     )
+                if metrics.get("matcher_tile_dropped", 0.0) > 0:
+                    logger.warning(
+                        "tiled matcher live-tile overflow: %.0f flagged "
+                        "tiles dropped this step (each may hide up to 256 "
+                        "candidates); raise TPU.MATCH_TILE_CAP",
+                        metrics["matcher_tile_dropped"],
+                    )
                 lr = float(self.schedule(it))
                 dt = time.time() - t0
                 # data_time: wall time blocked on the input pipeline — if
