@@ -486,6 +486,11 @@ def get_default_config() -> CN:
     # grid cells of one cell-anchor type); overflow is surfaced as the
     # `matcher_tile_dropped` metric.
     _C.TPU.MATCH_TILE_CAP = 512
+    # RPN fg/bg subsampler: "axis" (priorities + top-k over the anchor
+    # axis) or "pool" (samples positives from the matcher pools and
+    # negatives by rejection — no million-anchor pass; requires
+    # MATCH_BACKEND="tiled"; see matcher.subsample_rpn_from_pools).
+    _C.TPU.RPN_SAMPLER = "axis"
     # Box/mask pooler kernel backend: "xla" (packed-pyramid gather,
     # default) or "pallas" (DMA-tile kernel — bit-exact alternative,
     # measured slower on v5e; see ops/pallas_roi_align.py).

@@ -552,6 +552,7 @@ def rpn_label_anchors_tiled(
     k: int = 16384,
     tile_cap: int = 512,
     tile: int = 16,
+    return_pools: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """``rpn_label_anchors`` behind a hierarchical tile pre-filter.
 
@@ -650,8 +651,90 @@ def rpn_label_anchors_tiled(
     iou = jnp.concatenate([iou1, iou2], axis=1)
     cat_idx = jnp.concatenate([idx1, idx2])
     cat_val = jnp.concatenate([val1, val2])
+    if return_pools:
+        # Pool-space outputs for the (A,)-free sampler: per-slot anchor id,
+        # max IoU, argmax gt, and the low-quality-best flag.  Slots across
+        # the two rounds are disjoint anchor sets by construction (round 2
+        # excludes bound >= lo), so per-slot stats == per-anchor stats.
+        col_max = jnp.max(iou, axis=0)
+        col_arg = jnp.argmax(iou, axis=0).astype(jnp.int32)
+        best_per_gt = jnp.max(iou, axis=1, keepdims=True)
+        is_best = (iou >= best_per_gt - 1e-5) & (best_per_gt > 1e-5)
+        pools = {
+            "ids": cat_idx,
+            "val": cat_val,
+            "max_iou": col_max,
+            "argmax_gt": col_arg,
+            "lq": jnp.any(is_best, axis=0),
+            "num_anchors": a,
+        }
+        return pools, diag
     labels, matched_gt_idx = _labels_from_pools(iou, cat_idx, cat_val, a, g, lo, hi)
     return labels, matched_gt_idx, diag
+
+
+def subsample_rpn_from_pools(
+    key: jax.Array,
+    pools: dict,
+    num_samples: int,
+    positive_fraction: float,
+    thresholds: Tuple[float, float] = (0.3, 0.7),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RPN fg/bg subsampling without touching the (A,)-anchor axis.
+
+    Positives live entirely inside the matcher pools (an anchor can only
+    be labeled 1 with IoU >= hi or via the low-quality rescue — both imply
+    pool membership), so positive sampling is a top-k of uniform priority
+    over the ~k pool slots instead of the 1M-anchor axis.
+
+    Negatives are uniform over the label-0 anchors.  Drawing exact
+    without-replacement samples from that implicit set: draw 4x
+    ``num_samples`` iid anchor ids, reject pool members labeled fg/ignore
+    and duplicate draws (first occurrence kept — first-k distinct values
+    of an iid uniform stream ARE a uniform without-replacement sample),
+    and keep the first ``num_neg`` survivors.  A shortfall needs > 3/4 of
+    4 * num_samples draws rejected; at the operating point (fg+ignore
+    ~2 percent of 1M anchors, 64 draws) that is astronomically rare, and
+    it degrades to fewer sampled negatives, never to a wrong one.
+
+    Returns (pos_idx, pos_val, pos_gt, neg_idx, neg_val): anchor ids, a
+    validity mask, and each positive's matched gt row.
+    """
+    lo, hi = thresholds
+    a = pools["num_anchors"]
+    k1, k2 = jax.random.split(key)
+    val = pools["val"]
+    fg = val & (pools["lq"] | (pools["max_iou"] >= hi))
+    ign = val & ~fg & (pools["max_iou"] >= lo)
+
+    max_pos = int(num_samples * positive_fraction)
+    num_pos = jnp.minimum(jnp.sum(fg), max_pos)
+    p = fg.shape[0]
+    pri = jnp.where(fg, jax.random.uniform(k1, (p,)), -1.0)
+    vals, slot = jax.lax.top_k(pri, min(max_pos, p))
+    pos_val = (jnp.arange(slot.shape[0]) < num_pos) & (vals >= 0.0)
+    pos_idx = jnp.where(pos_val, pools["ids"][slot], a - 1)
+    pos_gt = pools["argmax_gt"][slot]
+
+    # Negatives: oversample-dedup-truncate over the implicit label-0 set.
+    n_draw = 4 * num_samples
+    draws = jax.random.randint(k2, (n_draw,), 0, a)
+    blocked_ids = jnp.where(fg | ign, pools["ids"], -1)  # (P,)
+    hit_blocked = jnp.any(draws[:, None] == blocked_ids[None, :], axis=1)
+    eq = draws[:, None] == draws[None, :]  # (n_draw, n_draw) — tiny
+    earlier = jnp.tril(jnp.ones((n_draw, n_draw), bool), k=-1)
+    first_occurrence = ~jnp.any(eq & earlier, axis=1)
+    survivor = ~hit_blocked & first_occurrence
+    n_label0 = a - jnp.sum(fg) - jnp.sum(ign)
+    num_neg = jnp.minimum(
+        jnp.minimum(num_samples - num_pos, n_label0),
+        jnp.sum(survivor),
+    )
+    sv_idx, sv_val = _compact_flags(survivor, num_samples)  # draw order kept
+    neg_idx = draws[sv_idx]
+    neg_val = sv_val & (jnp.arange(num_samples) < num_neg)
+    neg_idx = jnp.where(neg_val, neg_idx, a - 1)
+    return pos_idx, pos_val, pos_gt, neg_idx, neg_val
 
 
 def auto_match_pool(max_gt: int) -> int:

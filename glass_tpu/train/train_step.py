@@ -53,6 +53,7 @@ from .matcher import (
     rpn_label_anchors_tiled,
     subsample_labels,
     subsample_labels_idx,
+    subsample_rpn_from_pools,
 )
 from .targets import mask_targets_for_proposals
 
@@ -82,6 +83,7 @@ class TrainConfig:
     match_topk: int = 16384  # exact-IoU anchor-match pool (TPU.MATCH_POOL)
     match_backend: str = "scan"  # TPU.MATCH_BACKEND: scan | tiled
     match_tile_cap: int = 512  # TPU.MATCH_TILE_CAP (tiled backend)
+    rpn_sampler: str = "axis"  # TPU.RPN_SAMPLER: axis | pool (needs tiled)
 
     @classmethod
     def from_config(cls, cfg) -> "TrainConfig":
@@ -118,6 +120,7 @@ class TrainConfig:
             ),
             match_backend=cfg.TPU.MATCH_BACKEND,
             match_tile_cap=cfg.TPU.MATCH_TILE_CAP,
+            rpn_sampler=cfg.TPU.RPN_SAMPLER,
         )
 
 
@@ -166,7 +169,29 @@ def rpn_losses(
     # Losses touch only the ~rpn_batch_per_image sampled anchors; gather
     # their indices and compute deltas/BCE on the sampled set (the full
     # 1M-anchor get_deltas + masked losses measured ~8 ms/step on v5e).
+    if tcfg.rpn_sampler == "pool" and not use_tiled:
+        raise ValueError(
+            "TPU.RPN_SAMPLER='pool' requires TPU.MATCH_BACKEND='tiled' "
+            "(positives are sampled from the matcher pools)"
+        )
+
     def per_image(gt_b, gt_v, key):
+        if use_tiled and tcfg.rpn_sampler == "pool":
+            # (A,)-free path: labels are never materialized — positives are
+            # sampled from the matcher pools, negatives by rejection over
+            # the implicit label-0 set (matcher.subsample_rpn_from_pools).
+            pools, diag = rpn_label_anchors_tiled(
+                gt_b, gt_v, level_specs,
+                k=tcfg.match_topk, tile_cap=tcfg.match_tile_cap,
+                return_pools=True,
+            )
+            pos_idx, pos_val, pos_gt, neg_idx, neg_val = subsample_rpn_from_pools(
+                key, pools, tcfg.rpn_batch_per_image, tcfg.rpn_positive_fraction
+            )
+            gt_d = get_deltas(
+                anchors[pos_idx], gt_b[pos_gt], arch.rpn_bbox_weights
+            )
+            return pos_idx, pos_val, neg_idx, neg_val, gt_d, diag
         if use_tiled:
             labels, matched_idx, diag = rpn_label_anchors_tiled(
                 gt_b, gt_v, level_specs,

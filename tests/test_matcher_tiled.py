@@ -180,3 +180,75 @@ def test_train_forward_tiled_backend_matches_scan():
             err_msg=name,
         )
     np.testing.assert_allclose(float(tot_s), float(tot_t), rtol=1e-6)
+
+
+def test_pool_sampler_consistent_with_flat_labels(rng):
+    """Pool-sampled positives/negatives must be consistent with the flat
+    matcher's labels: every sampled positive has label 1 (and the right
+    matched gt), every sampled negative label 0, counts match the
+    fg-capped / batch-filling rule, and negative draws are distinct."""
+    import jax
+    from glass_tpu.train.matcher import subsample_rpn_from_pools
+
+    img_h, img_w = 320, 256
+    specs = _specs(img_h, img_w)
+    anchors = _anchors(specs)
+    g = 40
+    gt = jnp.asarray(_gt(rng, g, img_h, img_w))
+    gv = jnp.ones(g, bool)
+
+    labels_f, matched_f, _ = rpn_label_anchors(gt, gv, anchors, k=16384)
+    labels_f, matched_f = np.asarray(labels_f), np.asarray(matched_f)
+
+    pools, diag = rpn_label_anchors_tiled(
+        gt, gv, specs, k=16384, tile_cap=512, return_pools=True
+    )
+    assert float(diag["matcher_tile_dropped"]) == 0
+    num_samples, pos_frac = 64, 0.5
+    pos_idx, pos_val, pos_gt, neg_idx, neg_val = jax.tree_util.tree_map(
+        np.asarray,
+        subsample_rpn_from_pools(
+            jax.random.PRNGKey(3), pools, num_samples, pos_frac
+        ),
+    )
+    n_fg = int((labels_f == 1).sum())
+    exp_pos = min(n_fg, int(num_samples * pos_frac))
+    assert pos_val.sum() == exp_pos
+    assert neg_val.sum() == num_samples - exp_pos  # plenty of negatives
+    sampled_pos = pos_idx[pos_val]
+    assert (labels_f[sampled_pos] == 1).all()
+    assert len(set(sampled_pos.tolist())) == len(sampled_pos)
+    # matched gt agrees with the flat matcher's per-anchor argmax
+    np.testing.assert_array_equal(pos_gt[pos_val], matched_f[sampled_pos])
+    sampled_neg = neg_idx[neg_val]
+    assert (labels_f[sampled_neg] == 0).all()
+    assert len(set(sampled_neg.tolist())) == len(sampled_neg)
+
+
+@pytest.mark.slow
+def test_train_forward_pool_sampler_runs():
+    """Full train forward with the (A,)-free pool sampler: finite losses,
+    sampled-anchor diagnostics within the batch budget."""
+    import dataclasses
+    import jax
+    from glass_tpu.models import init_glass_params
+    from glass_tpu.train.train_step import TrainConfig, glass_train_forward
+    from tests.test_train_step import TINY_ARCH, make_batch
+
+    params = init_glass_params(jax.random.PRNGKey(0), TINY_ARCH)
+    batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+    tcfg = TrainConfig(
+        rpn_pre_nms_topk=64, rpn_post_nms_topk=16, roi_batch_per_image=32,
+        words_per_image=4, masks_per_image=4, match_topk=4096,
+        match_backend="tiled", rpn_sampler="pool",
+    )
+    total, losses, _ = glass_train_forward(
+        TINY_ARCH, tcfg, params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(total))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert (
+        float(losses["rpn/num_pos_anchors"] + losses["rpn/num_neg_anchors"])
+        <= tcfg.rpn_batch_per_image + 1e-6
+    )
