@@ -114,7 +114,18 @@ class DatasetManager:
 
     def register(self):
         for name in list(self.cfg.DATASETS.TRAIN) + list(self.cfg.DATASETS.TEST):
-            if name not in _DATASET_CATALOG:
+            prev = _DATASET_CATALOG.get(name)
+            if prev is not None and prev.root != self.root:
+                # Same name, different DATASETS.ROOT: the old entry would
+                # silently shadow the new location for the rest of the
+                # process (d2 raises on duplicate register; our register is
+                # implicit-from-config, so overwrite-and-warn is the sane
+                # semantic).
+                logger.warning(
+                    "dataset %r re-registered with a new root: %s -> %s",
+                    name, prev.root, self.root,
+                )
+            if prev is None or prev.root != self.root:
                 _DATASET_CATALOG[name] = DatasetInfo(name, self.root)
 
     @staticmethod
