@@ -361,11 +361,7 @@ def rpn_label_anchors(
     # small row count — measured ~8.5 -> ~1.5 ms at G=256, A=1M.  The cap
     # scales with g (ADVICE r2: a hard 32 silently lost lq promotion for
     # overflow gts); overflow is still counted and surfaced.
-    weak = (best1 < lo) & gt_valid
-    weak_cap = min(g, max(32, g // 4))
-    n_weak = jnp.sum(weak.astype(jnp.int32))
-    w_idx, w_val = _compact_flags(weak, weak_cap)
-    weak_thr = jnp.maximum(best1[w_idx] - 1e-4, 1e-4)
+    w_idx, w_val, weak_thr, n_weak, weak_cap = _weak_gt_pool(best1, gt_valid, lo)
     flags2 = (
         _blockwise_bound_reduce(
             gt_boxes[w_idx], w_val, anchors, thr=weak_thr
@@ -395,6 +391,26 @@ def rpn_label_anchors(
     # and the full 1M x 5 narrow-row gather measured ~4.5 ms/step on v5e.
     labels, matched_gt_idx = _labels_from_pools(iou, cat_idx, cat_val, a, g, lo, hi)
     return labels, matched_gt_idx, diag
+
+
+def _weak_gt_pool(best1: jnp.ndarray, gt_valid: jnp.ndarray, lo: float):
+    """Round-2 weak-gt selection shared by both matcher backends.
+
+    A gt is "weak" when its round-1 best IoU is below the ignore threshold
+    ``lo`` (only the low-quality rescue can give it a foreground anchor).
+    The cap scales with g (ADVICE r2: a hard 32 silently lost lq promotion
+    for overflow gts); overflow is counted via the returned ``n_weak`` vs
+    ``weak_cap``.  The 1e-4 margins absorb f32 rounding of the bound.
+
+    Returns (w_idx (weak_cap,), w_val, weak_thr, n_weak, weak_cap).
+    """
+    g = best1.shape[0]
+    weak = (best1 < lo) & gt_valid
+    weak_cap = min(g, max(32, g // 4))
+    n_weak = jnp.sum(weak.astype(jnp.int32))
+    w_idx, w_val = _compact_flags(weak, weak_cap)
+    weak_thr = jnp.maximum(best1[w_idx] - 1e-4, 1e-4)
+    return w_idx, w_val, weak_thr, n_weak, weak_cap
 
 
 def _labels_from_pools(
@@ -437,8 +453,15 @@ def _labels_from_pools(
     return labels, matched_gt_idx
 
 
+_TILE_TABLE_CACHE: dict = {}
+
+
 def _tile_tables(level_specs: Sequence, T: int) -> dict:
     """Static per-(level, tile, cell-anchor) tables for the tiled matcher.
+
+    Memoized on (level geometry, cell anchors, T): the unrolled per-image
+    batch loop calls this once per image per trace, and the tables depend
+    only on static metadata.
 
     ``level_specs``: sequence of ``(grid_h, grid_w, stride, cell_anchors,
     offset)`` in anchor-concatenation order (``cell_anchors``: (K, 5) numpy
@@ -459,6 +482,16 @@ def _tile_tables(level_specs: Sequence, T: int) -> dict:
     see ``_pairwise_iou_upper_bound``) upper-bounds every covered anchor's
     IoU against any gt.  Edge tiles reuse the full-tile cover (a superset).
     """
+    cache_key = (
+        T,
+        tuple(
+            (int(h), int(w), int(st), float(off), np.asarray(c, np.float32).tobytes())
+            for h, w, st, c, off in level_specs
+        ),
+    )
+    hit = _TILE_TABLE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     keys = (
         "box", "area", "stride", "off", "aoff", "ty", "tx", "H", "W", "K",
         "kid", "w", "h", "theta",
@@ -502,6 +535,7 @@ def _tile_tables(level_specs: Sequence, T: int) -> dict:
         aoff += grid_h * grid_w * K
     out = {k: np.concatenate(v) for k, v in cols.items()}
     out["num_anchors"] = aoff
+    _TILE_TABLE_CACHE[cache_key] = out
     return out
 
 
@@ -553,8 +587,13 @@ def rpn_label_anchors_tiled(
     tile_cap: int = 512,
     tile: int = 16,
     return_pools: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+):
     """``rpn_label_anchors`` behind a hierarchical tile pre-filter.
+
+    Returns ``(labels, matched_gt_idx, diag)`` — or, with
+    ``return_pools=True``, ``(pools, diag)`` where ``pools`` carries the
+    per-slot anchor ids / max IoU / argmax gt / low-quality flags for
+    ``subsample_rpn_from_pools`` (no (A,)-axis output at all).
 
     Same contract and (absent overflow) identical output as
     ``rpn_label_anchors``, but no full-anchor-axis pass ever runs: the
@@ -609,11 +648,7 @@ def rpn_label_anchors_tiled(
     # Round 2: low-quality rescue for weak gts (same semantics as the flat
     # path; the ~(ub >= lo) exclusion reproduces its ~flags1 — any anchor
     # whose bound clears lo already sits in pool 1 when nothing overflowed).
-    weak = (best1 < lo) & gt_valid
-    weak_cap = min(g, max(32, g // 4))
-    n_weak = jnp.sum(weak.astype(jnp.int32))
-    w_idx, w_val = _compact_flags(weak, weak_cap)
-    weak_thr = jnp.maximum(best1[w_idx] - 1e-4, 1e-4)
+    w_idx, w_val, weak_thr, n_weak, weak_cap = _weak_gt_pool(best1, gt_valid, lo)
     tflags2 = _blockwise_bound_reduce(
         gt_boxes[w_idx], w_val, tab["box"], thr=weak_thr, area2=tab["area"]
     )

@@ -88,6 +88,21 @@ class TrainConfig:
     @classmethod
     def from_config(cls, cfg) -> "TrainConfig":
         rec = cfg.MODEL.ROI_RECOGNIZER_HEAD
+        if cfg.TPU.MATCH_BACKEND not in ("scan", "tiled"):
+            raise ValueError(
+                f"TPU.MATCH_BACKEND must be 'scan' or 'tiled', got "
+                f"{cfg.TPU.MATCH_BACKEND!r}"
+            )
+        if cfg.TPU.RPN_SAMPLER not in ("axis", "pool"):
+            raise ValueError(
+                f"TPU.RPN_SAMPLER must be 'axis' or 'pool', got "
+                f"{cfg.TPU.RPN_SAMPLER!r}"
+            )
+        if cfg.TPU.RPN_SAMPLER == "pool" and cfg.TPU.MATCH_BACKEND != "tiled":
+            raise ValueError(
+                "TPU.RPN_SAMPLER='pool' requires TPU.MATCH_BACKEND='tiled' "
+                "(positives are sampled from the matcher pools)"
+            )
         return cls(
             rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
             rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,

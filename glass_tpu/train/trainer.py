@@ -248,8 +248,8 @@ class Trainer:
                 if metrics.get("matcher_tile_dropped", 0.0) > 0:
                     logger.warning(
                         "tiled matcher live-tile overflow: %.0f flagged "
-                        "tiles dropped this step (each may hide up to 256 "
-                        "candidates); raise TPU.MATCH_TILE_CAP",
+                        "tiles dropped this step (each may hide a full "
+                        "tile of candidates); raise TPU.MATCH_TILE_CAP",
                         metrics["matcher_tile_dropped"],
                     )
                 lr = float(self.schedule(it))
