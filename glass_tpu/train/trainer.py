@@ -77,7 +77,15 @@ class Trainer:
         records = []
         for name in self.cfg.DATASETS.TRAIN:
             records.extend(DatasetManager.load(name))
-        mapper = DatasetMapper(self.cfg, is_train=True)
+        # d2 default_setup: SEED >= 0 seeds the augmentation RNG with
+        # seed + rank (reproducible training, decorrelated across hosts);
+        # SEED < 0 keeps nondeterministic augmentations.
+        aug_rng = (
+            np.random.RandomState(self.cfg.SEED + jax.process_index())
+            if self.cfg.SEED >= 0
+            else None
+        )
+        mapper = DatasetMapper(self.cfg, is_train=True, rng=aug_rng)
         # SOLVER.IMS_PER_BATCH is the GLOBAL batch (reference
         # build.py:113-127 divides by world size); each process builds only
         # its local shard, which shard_batch assembles into the global array.

@@ -83,3 +83,37 @@ def test_trainer_runs_steps_and_checkpoints(tmp_path):
     trainer2 = Trainer(cfg, mesh=mesh)
     trainer2.resume_or_load(resume=True)
     assert trainer2.start_iter == 2
+
+
+def test_seeded_augmentations_reproducible(tmp_path):
+    """cfg.SEED >= 0 must make the augmentation stream deterministic
+    (d2 default_setup: seed_all_rng(seed + rank))."""
+    import jax
+
+    root = _make_dataset(tmp_path)
+    cfg = get_cfg(os.path.join(os.path.dirname(__file__), "..", "configs",
+                               "glass_finetune_icdar15.yaml"))
+    cfg.DATASETS.TRAIN = ["toy_train"]
+    cfg.DATASETS.ROOT = root
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SEED = 7
+    cfg.INPUT.MIN_SIZE_TRAIN = (64, 80)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.TPU.MAX_GT_INSTANCES = 8
+
+    from glass_tpu.train import Trainer
+    from glass_tpu.parallel import make_mesh
+
+    def first_batch():
+        trainer = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+        loader = trainer.build_train_loader()
+        return next(iter(loader))
+
+    b1, b2 = first_batch(), first_batch()
+    np.testing.assert_array_equal(
+        np.asarray(b1["images"]), np.asarray(b2["images"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b1["gt_boxes"]), np.asarray(b2["gt_boxes"])
+    )
