@@ -415,3 +415,46 @@ def test_roi_align_rotated_rot90_equivariance():
         )
     )
     np.testing.assert_allclose(got, base, atol=1e-4)
+
+
+def test_roi_align_rotated_vs_opencv_warp_affine():
+    """Third-party oracle: at sampling_ratio=1 each output pixel of
+    ROIAlignRotated is one bilinear tap at the rotated bin center, which is
+    exactly cv2.warpAffine with WARP_INVERSE_MAP and the affine that maps
+    output pixel (j, i) to center + R(theta) . (xx(j), yy(i)) (the aligned
+    -0.5 offset included).  Rois are kept interior so d2's clamp-at-border
+    rule and cv2's BORDER_CONSTANT never diverge."""
+    import cv2
+
+    rng = np.random.RandomState(11)
+    img = rng.rand(96, 128, 3).astype(np.float32)
+    rois = np.array(
+        [
+            [64.0, 48.0, 60.0, 24.0, 0.0],
+            [64.0, 48.0, 50.0, 20.0, 30.0],
+            [70.0, 40.0, 44.0, 30.0, -58.0],
+            [60.0, 50.0, 36.0, 36.0, 120.0],
+        ],
+        np.float32,
+    )
+    out_h, out_w = 24, 40
+    got = np.asarray(
+        roi_align_rotated(
+            jnp.asarray(img), jnp.asarray(rois), (out_h, out_w),
+            spatial_scale=1.0, sampling_ratio=1,
+        )
+    )
+    for r, (cx, cy, rw, rh, ang) in enumerate(rois):
+        cx, cy = cx - 0.5, cy - 0.5  # aligned=True half-pixel offset
+        t = np.deg2rad(ang)
+        c, s = np.cos(t), np.sin(t)
+        bw, bh = rw / out_w, rh / out_h
+        tx = c * (-rw / 2 + 0.5 * bw) + s * (-rh / 2 + 0.5 * bh) + cx
+        ty = -s * (-rw / 2 + 0.5 * bw) + c * (-rh / 2 + 0.5 * bh) + cy
+        M = np.array([[c * bw, s * bh, tx], [-s * bw, c * bh, ty]], np.float64)
+        want = cv2.warpAffine(
+            img, M, (out_w, out_h),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0.0,
+        )
+        np.testing.assert_allclose(got[r], want, atol=2e-3)
