@@ -282,3 +282,34 @@ def test_compact_flags_hier_overflow_accounting():
         np.asarray(idx)[:6], [0, 7, 4096, 4103, 8192, 8199]
     )
     assert int(dropped) == 4
+
+
+def test_decoder_cross_entropy_matches_torch(rng):
+    """LS.decoder_cross_entropy vs the reference's exact formula
+    (recognizer_head_v2.decoder_loss:44-50): torch F.cross_entropy with
+    ignore_index=0 on one-shifted targets, mean reduction."""
+    import torch
+    import torch.nn.functional as F
+    from glass_tpu.train import losses as LS
+
+    n, t, v = 6, 9, 40
+    logits = rng.randn(n, t, v).astype(np.float32)
+    targets = np.zeros((n, t + 1), np.int64)
+    for i in range(n):
+        ln = rng.randint(1, t)
+        targets[i, 1 : 1 + ln] = rng.randint(1, v, ln)
+    word_mask = np.array([True] * 4 + [False] * 2)
+
+    got = float(LS.decoder_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(word_mask)
+    ))
+    # reference computes CE only over the words it kept; masked-out words
+    # must contribute nothing, so zero their targets for the torch side
+    tgt = targets[:, 1:].copy()
+    tgt[~word_mask] = 0
+    want = F.cross_entropy(
+        torch.from_numpy(logits).reshape(-1, v),
+        torch.from_numpy(tgt).reshape(-1),
+        ignore_index=0,
+    )
+    np.testing.assert_allclose(got, float(want), rtol=1e-5)
