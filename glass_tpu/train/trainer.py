@@ -131,6 +131,67 @@ class Trainer:
         )
         logger.info("Saved checkpoint at iteration %d", iteration)
 
+    # -- precise BN ---------------------------------------------------------
+    def precise_bn(self, num_iter: Optional[int] = None):
+        """Recompute BN running stats as the TRUE average of batch statistics
+        over ``num_iter`` train batches (d2 ``PreciseBN`` hook / fvcore
+        ``update_bn_stats``, enabled by ``TEST.PRECISE_BN.ENABLED``; the
+        reference's DefaultTrainer registers it before each eval).
+
+        ``layers.batch_norm`` returns EMA-updated stats
+        (``new = (1-m)*old + m*batch``); with params held constant across
+        the passes the batch statistics are recovered by inverting the EMA
+        on the averaged updates.  Frozen stages emit no updates and keep
+        their stats, as with d2's FrozenBatchNorm.  Stats are folded back
+        into ``self.params`` (d2 mutates the model buffers the same way).
+        """
+        from .train_step import glass_train_forward
+        from .optimizer import apply_bn_updates
+
+        num_iter = int(num_iter or self.cfg.TEST.PRECISE_BN.NUM_ITER)
+        loader = iter(self.build_train_loader())
+        arch, tcfg = self.arch, self.tcfg
+
+        @jax.jit
+        def bn_stats(params, batch, key):
+            _, _, bn = glass_train_forward(arch, tcfg, params, batch, key)
+            return bn
+
+        sums = None
+        key = self._rng
+        for it in range(num_iter):
+            batch = next(loader)
+            key, k = jax.random.split(key)
+            bn = jax.tree_util.tree_map(
+                np.asarray, bn_stats(self.params, batch, k)
+            )
+            sums = bn if sums is None else jax.tree_util.tree_map(
+                np.add, sums, bn
+            )
+        if sums is None:
+            return
+        momentum = 0.1  # layers.batch_norm EMA constant
+        precise = {}
+        for path, stats in sums.items():
+            node = self.params
+            for part in path.split("."):
+                node = node[part]
+            avg_mean = stats["running_mean"] / num_iter
+            avg_var = stats["running_var"] / num_iter
+            precise[path] = {
+                "running_mean": (
+                    avg_mean - (1 - momentum) * np.asarray(node["running_mean"])
+                ) / momentum,
+                "running_var": (
+                    avg_var - (1 - momentum) * np.asarray(node["running_var"])
+                ) / momentum,
+            }
+        self.params = apply_bn_updates(self.params, precise)
+        logger.info(
+            "PreciseBN: replaced %d BN layers' running stats with the "
+            "average over %d train batches", len(precise), num_iter
+        )
+
     # -- periodic evaluation ----------------------------------------------
     def test(self, max_images: Optional[int] = None):
         """Evaluate the current params on cfg.DATASETS.TEST.
@@ -148,6 +209,8 @@ class Trainer:
         """
         if not self.cfg.DATASETS.TEST:
             return {}
+        if self.cfg.TEST.PRECISE_BN.ENABLED and self.cfg.DATASETS.TRAIN:
+            self.precise_bn()
         import cv2
 
         from ..data import DatasetManager

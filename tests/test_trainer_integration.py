@@ -117,3 +117,75 @@ def test_seeded_augmentations_reproducible(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(b1["gt_boxes"]), np.asarray(b2["gt_boxes"])
     )
+
+
+@pytest.mark.slow
+def test_precise_bn_replaces_running_stats(tmp_path):
+    """TEST.PRECISE_BN: running stats become the average of true batch
+    statistics over NUM_ITER train batches (d2 PreciseBN / fvcore
+    update_bn_stats semantics), verified by recomputing the same batches'
+    statistics directly through glass_train_forward."""
+    import jax
+    import jax.numpy as jnp
+
+    root = _make_dataset(tmp_path)
+    cfg = get_cfg(os.path.join(os.path.dirname(__file__), "..", "configs",
+                               "glass_finetune_icdar15.yaml"))
+    cfg.DATASETS.TRAIN = ["toy_train"]
+    cfg.DATASETS.ROOT = root
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    cfg.SEED = 3
+    cfg.INPUT.MIN_SIZE_TRAIN = (64, 80)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_WORD_LENGTH = 5
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_BATCH_SIZE = 2
+    cfg.TPU.MAX_GT_INSTANCES = 8
+    cfg.TEST.PRECISE_BN.ENABLED = True
+    cfg.TEST.PRECISE_BN.NUM_ITER = 2
+
+    from glass_tpu.train import Trainer
+    from glass_tpu.train.train_step import glass_train_forward
+    from glass_tpu.parallel import make_mesh
+
+    path = "backbone.bottom_up.res4.0.conv1.norm"
+
+    def node_of(params):
+        node = params
+        for part in path.split("."):
+            node = node[part]
+        return node
+
+    trainer = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    before = np.asarray(node_of(trainer.params)["running_mean"]).copy()
+
+    # independently collect the SAME two batches' statistics (fresh trainer,
+    # same SEED -> identical loader + key sequence)
+    ref = Trainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    loader = iter(ref.build_train_loader())
+    key = ref._rng
+    # jit exactly like precise_bn does: under the default bf16 compute
+    # dtype, eager-vs-jit fusion differences shift batch stats ~1e-3
+    arch, tcfg = ref.arch, ref.tcfg
+
+    @jax.jit
+    def bn_stats(params, batch, k):
+        return glass_train_forward(arch, tcfg, params, batch, k)[2]
+
+    upds = []
+    for _ in range(2):
+        batch = next(loader)
+        key, k = jax.random.split(key)
+        upds.append(
+            jax.tree_util.tree_map(np.asarray, bn_stats(ref.params, batch, k))
+        )
+    avg_upd = np.mean([u[path]["running_mean"] for u in upds], axis=0)
+    want = (avg_upd - 0.9 * before) / 0.1
+
+    trainer.precise_bn()
+    after = np.asarray(node_of(trainer.params)["running_mean"])
+    assert not np.allclose(after, before)
+    np.testing.assert_allclose(after, want, rtol=1e-4, atol=1e-5)
