@@ -148,6 +148,8 @@ def test_upsample_nearest(rng):
         ((3, 3), (2, 2), (1, 1), (2, 17, 19, 5)),   # resnet stem shape family
         ((2, 2), (2, 2), (0, 0), (1, 16, 16, 3)),   # local-extractor pools
         ((2, 2), (2, 1), (0, 1), (1, 12, 10, 4)),   # rect pool (V1_RECT)
+        ((2, 3), (3, 1), (0, 1), (1, 13, 9, 2)),    # stride>kernel, asymmetric
+        ((3, 2), (1, 2), (1, 0), (2, 9, 14, 3)),    # overlap + rect stride
     ],
 )
 def test_max_pool_dense_grad_matches_select_and_scatter(kernel, stride, pad, shape):
@@ -177,3 +179,24 @@ def test_max_pool_dense_grad_matches_select_and_scatter(kernel, stride, pad, sha
     # in a different summation order
     np.testing.assert_array_equal(g_ref != 0, g_new != 0)
     np.testing.assert_allclose(g_ref, g_new, rtol=1e-6, atol=1e-7)
+
+
+def test_max_pool_dense_grad_bf16_and_vmap():
+    """bf16 inputs and vmap over a leading batch must keep the custom VJP
+    routing identical to the native SelectAndScatter backward."""
+    from glass_tpu.models.layers import _max_pool_fwd_raw, max_pool2d
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(np.round(rng.rand(3, 2, 12, 10, 4) * 8) / 8, jnp.bfloat16)
+
+    def loss_new(xi):
+        return jnp.sum(max_pool2d(xi, (3, 3), (2, 2), (1, 1)).astype(jnp.float32))
+
+    def loss_ref(xi):
+        return jnp.sum(
+            _max_pool_fwd_raw(xi, (3, 3), (2, 2), (1, 1)).astype(jnp.float32)
+        )
+
+    g_new = np.asarray(jax.vmap(jax.grad(loss_new))(x), np.float32)
+    g_ref = np.asarray(jax.vmap(jax.grad(loss_ref))(x), np.float32)
+    np.testing.assert_array_equal(g_new, g_ref)
