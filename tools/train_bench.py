@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Pinned training-step benchmark (the PERF_NOTES ms/step numbers).
+
+Methodology (PERF_NOTES.md "Measurement methodology"): a 10-step
+pipelined window — all steps dispatched asynchronously, only the last
+loss fetched — so the tunnel's ~3 ms dispatch / ~30 ms fetch overhead is
+amortized away and the number is device time.  SynthText pretrain
+config, b=1 per chip, 1024x1024, full losses (mask rasterization +
+recognizer teacher forcing), realistic gt density (default G=24 real
+words out of the 256-slot capacity).
+
+Usage:
+    python tools/train_bench.py [--gts N] [--batch B] [--steps K]
+        [--opts KEY VALUE ...]
+
+Lives in-repo (not /tmp) so the pinned methodology survives host resets.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from glass_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def make_batch(b, h, w, g_real, g_cap, max_word_len, seed=0):
+    rng = np.random.RandomState(seed)
+    from glass_tpu.ops.boxes import boxes_to_polygons
+
+    boxes = np.stack(
+        [
+            rng.uniform(64, w - 64, (b, g_cap)),
+            rng.uniform(64, h - 64, (b, g_cap)),
+            rng.uniform(24, 180, (b, g_cap)),
+            rng.uniform(10, 40, (b, g_cap)),
+            rng.uniform(-60, 60, (b, g_cap)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    valid = np.zeros((b, g_cap), bool)
+    valid[:, :g_real] = True
+    text = np.zeros((b, g_cap, max_word_len + 2), np.int64)
+    text[..., 1:6] = rng.randint(1, 60, (b, g_cap, 5))
+    text[..., 6] = 0
+    polys4 = np.asarray(boxes_to_polygons(boxes))
+    k = 16
+    polys = np.zeros((b, g_cap, k, 2), np.float32)
+    polys[:, :, :4] = polys4
+    return {
+        "images": (rng.rand(b, h, w, 3) * 255).astype(np.float32),
+        "content_hw": np.tile([[h, w]], (b, 1)).astype(np.int32),
+        "gt_boxes": boxes,
+        "gt_valid": valid,
+        "gt_classes": np.zeros((b, g_cap), np.int32),
+        "gt_orientation": rng.randint(0, 4, (b, g_cap)).astype(np.int32),
+        "gt_text": text,
+        "gt_polygons": polys,
+        "gt_poly_nv": np.full((b, g_cap), 4, np.int32),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gts", type=int, default=24)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--opts", nargs="*", default=[])
+    args = ap.parse_args()
+
+    from glass_tpu.config import get_cfg
+
+    cfg = get_cfg(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "glass_pretrain.yaml")
+    )
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    import optax
+
+    from glass_tpu.models import GlassArch, init_glass_params
+    from glass_tpu.parallel import make_mesh, shard_batch, make_parallel_train_step
+    from glass_tpu.train.train_step import TrainConfig, glass_train_forward
+
+    arch = GlassArch.from_config(cfg)
+    tcfg = TrainConfig.from_config(cfg)
+    params = init_glass_params(jax.random.PRNGKey(0), arch)
+    mesh = make_mesh(jax.devices()[: args.batch] or jax.devices())
+    tx = optax.sgd(1e-3, momentum=0.9)
+
+    def loss_fn(p, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        total, losses, bn = glass_train_forward(
+            arch, tcfg, p, batch, key, axis_name="data"
+        )
+        return total, (losses, bn)
+
+    step = make_parallel_train_step(mesh, loss_fn, tx)
+
+    g_cap = cfg.TPU.MAX_GT_INSTANCES
+    batch = make_batch(
+        args.batch, args.size, args.size, args.gts, g_cap, arch.max_word_len
+    )
+    batch = shard_batch(mesh, batch)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    params, opt_state, metrics = step(params, opt_state, batch, key)
+    np.asarray(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        params, opt_state, metrics = step(
+            params, opt_state, batch, jax.random.fold_in(key, i)
+        )
+    np.asarray(metrics["total_loss"])  # fetch-last: the only true barrier
+    dt = (time.perf_counter() - t0) / args.steps * 1e3
+    print(
+        f"train_step: {dt:.1f} ms/step  (b={args.batch}, {args.size}x{args.size}, "
+        f"G={args.gts}/{g_cap}, backend={cfg.TPU.MATCH_BACKEND}, "
+        f"sampler={cfg.TPU.RPN_SAMPLER})"
+    )
+
+
+if __name__ == "__main__":
+    main()
