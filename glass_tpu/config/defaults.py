@@ -384,6 +384,10 @@ def get_default_config() -> CN:
     _C.TEST = CN()
     _C.TEST.EXPECTED_RESULTS = []
     _C.TEST.EVAL_PERIOD = 0
+    # RRC CONFIDENCES evaluation param: rank care detections by confidence
+    # and report E2E average precision (reference text_eval_script.py:35 —
+    # declared but never enabled by its shipped configs).
+    _C.TEST.CONFIDENCES = False
     _C.TEST.KEYPOINT_OKS_SIGMAS = []
     _C.TEST.DETECTIONS_PER_IMAGE = 100
     _C.TEST.AUG = CN()

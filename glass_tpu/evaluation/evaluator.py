@@ -269,7 +269,11 @@ class TextEvaluator:
             dets = self._dets
         per_sample: Dict[str, Dict] = {}
         results = evaluate_dataset(
-            gts, dets, self.word_spotting, per_sample=per_sample
+            gts,
+            dets,
+            self.word_spotting,
+            per_sample=per_sample,
+            confidences=bool(getattr(self.cfg.TEST, "CONFIDENCES", False)),
         )
         logger.info("%s: %s", self.dataset_name, results)
         if self.output_dir:

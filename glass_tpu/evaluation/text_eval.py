@@ -141,10 +141,26 @@ class EvalTotals:
     det_care: int = 0
     det_only_gt_care: int = 0
     det_only_det_care: int = 0
+    # Confidence-ranked AP accumulation (reference arrGlobalConfidences /
+    # arrGlobalMatches, text_eval_script.py:259-260 — vestigial there; the
+    # original RRC protocol fills one entry per care detection when the
+    # CONFIDENCES evaluation param is on). None unless confidences=True.
+    confidences: Optional[List[float]] = None
+    match_flags: Optional[List[bool]] = None
 
     def add(self, other: "EvalTotals"):
-        for f in self.__dataclass_fields__:
+        for f in (
+            "matched",
+            "det_only_matched",
+            "gt_care",
+            "det_care",
+            "det_only_gt_care",
+            "det_only_det_care",
+        ):
             setattr(self, f, getattr(self, f) + getattr(other, f))
+        if other.confidences is not None:
+            self.confidences = (self.confidences or []) + other.confidences
+            self.match_flags = (self.match_flags or []) + other.match_flags
 
 
 def evaluate_image(
@@ -152,6 +168,7 @@ def evaluate_image(
     dets: Sequence[EvalInstance],
     word_spotting: bool = False,
     detail: Optional[Dict[str, object]] = None,
+    confidences: bool = False,
 ) -> EvalTotals:
     """One image's protocol totals.
 
@@ -193,6 +210,7 @@ def evaluate_image(
     n_gt, n_det = len(gts), len(dets)
     det_correct = det_only_correct = 0
     pairs: List[Dict[str, object]] = []
+    det_matched_nums: List[int] = []  # E2E-correct detections (ref detMatchedNums)
     if n_gt and n_det:
         iou = pairwise_polygon_iou(
             [g.points for g in gts], [d.points for d in dets]
@@ -221,6 +239,8 @@ def evaluate_image(
                         except Exception:
                             correct = False
                     det_correct += 1 if correct else 0
+                    if correct:
+                        det_matched_nums.append(j)
                     pairs.append(
                         {"gt": i, "det": j, "correct": bool(correct)}
                     )
@@ -240,6 +260,20 @@ def evaluate_image(
                     det_matched[j] = True
                     det_only_correct += 1
 
+    conf_list: Optional[List[float]] = None
+    match_list: Optional[List[bool]] = None
+    if confidences:
+        # Original RRC CONFIDENCES accumulation: one (confidence, matched)
+        # entry per care detection; "matched" here means matched AND
+        # E2E-correct (the reference's detMatchedNums only records correct
+        # matches, text_eval_script.py:399-400).
+        conf_list, match_list = [], []
+        for j, d in enumerate(dets):
+            if j in det_dontcare:
+                continue
+            conf_list.append(float(d.confidence))
+            match_list.append(j in det_matched_nums)
+
     if detail is not None:
         detail["gt_trans"] = list(gt_trans)
         detail["det_trans"] = [d.transcription for d in dets]
@@ -254,6 +288,8 @@ def evaluate_image(
         det_care=n_det - len(det_dontcare),
         det_only_gt_care=n_gt - len(det_only_gt_dontcare),
         det_only_det_care=n_det - len(det_only_det_dontcare),
+        confidences=conf_list,
+        match_flags=match_list,
     )
 
 
@@ -290,9 +326,10 @@ def _prh_per_sample(matched, gt_care, det_care):
 
 def compute_ap(confidences, matches, num_gt_care: int) -> float:
     """Average precision over confidence-ranked detections
-    (text_eval_script.py:124-142).  Vestigial in the reference — its
-    CONFIDENCES flag is never enabled by the shipped configs and the
-    accumulation lists stay empty — but kept callable for parity."""
+    (text_eval_script.py:124-142).  Wired into :func:`evaluate_dataset`
+    behind its ``confidences`` flag (TEST.CONFIDENCES); the reference
+    declares the accumulation arrays but its shipped configs never enable
+    the flag, so there the lists stay empty."""
     if len(confidences) == 0:
         return 0.0
     order = np.argsort(-np.asarray(confidences, np.float64))
@@ -326,6 +363,10 @@ def per_sample_detail(totals: EvalTotals) -> Dict[str, object]:
     detail["detection_only"] = _prh_per_sample(
         totals.det_only_matched, totals.det_only_gt_care, totals.det_only_det_care
     )
+    if totals.confidences is not None:
+        detail["AP"] = compute_ap(
+            totals.confidences, totals.match_flags, totals.gt_care
+        )
     return detail
 
 
@@ -334,12 +375,20 @@ def evaluate_dataset(
     det_per_image: Dict[str, List[EvalInstance]],
     word_spotting: bool = False,
     per_sample: Optional[Dict[str, Dict]] = None,
+    confidences: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Protocol totals over all images.
 
     If ``per_sample`` is given (a dict), it is filled with one
     :func:`per_sample_detail` record per image key — the protocol totals are
     unchanged by the extra bookkeeping.
+
+    With ``confidences=True`` (the RRC CONFIDENCES evaluation param —
+    declared but never enabled by the reference's shipped configs,
+    text_eval_script.py:35,259-260), every care detection's confidence and
+    E2E correctness are accumulated globally and ``E2E_RESULTS['AP']`` is
+    the confidence-ranked average precision; per-sample records carry their
+    own ``AP``.
     """
     totals = EvalTotals()
     for key, gts in gt_per_image.items():
@@ -347,15 +396,22 @@ def evaluate_dataset(
         extra: Optional[Dict[str, object]] = (
             {} if per_sample is not None else None
         )
-        image_totals = evaluate_image(gts, dets, word_spotting, detail=extra)
+        image_totals = evaluate_image(
+            gts, dets, word_spotting, detail=extra, confidences=confidences
+        )
         if per_sample is not None:
             record = per_sample_detail(image_totals)
             record.update(extra or {})
             per_sample[key] = record
         totals.add(image_totals)
-    return {
+    results = {
         "E2E_RESULTS": _prh(totals.matched, totals.gt_care, totals.det_care),
         "DETECTION_ONLY_RESULTS": _prh(
             totals.det_only_matched, totals.det_only_gt_care, totals.det_only_det_care
         ),
     }
+    if confidences:
+        results["E2E_RESULTS"]["AP"] = compute_ap(
+            totals.confidences or [], totals.match_flags or [], totals.gt_care
+        )
+    return results

@@ -19,6 +19,7 @@ for convs, normal(0.01) for heads).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -210,7 +211,11 @@ def max_pool2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
-    if jnp.issubdtype(x.dtype, jnp.floating):
+    # GLASS_TPU_MAXPOOL_VJP=sas restores XLA's native SelectAndScatter
+    # backward (A/B escape hatch; "dense" is the measured default).
+    if jnp.issubdtype(x.dtype, jnp.floating) and (
+        os.environ.get("GLASS_TPU_MAXPOOL_VJP", "dense") != "sas"
+    ):
         return _max_pool2d_densegrad(x, tuple(kernel), tuple(stride), tuple(padding))
     return _max_pool_fwd_raw(x, kernel, stride, padding)
 

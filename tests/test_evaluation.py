@@ -206,3 +206,39 @@ def test_compute_ap_reference_semantics():
     ap = compute_ap([0.9, 0.5, 0.7], [True, True, False], 2)
     # sorted: (0.9 T) (0.7 F) (0.5 T) -> 1/1 + 2/3, / 2
     assert abs(ap - (1.0 + 2.0 / 3.0) / 2.0) < 1e-12
+
+
+def test_evaluate_dataset_confidences_ap_wiring():
+    # CONFIDENCES on: per-det (confidence, e2e-correct) accumulate globally
+    # and AP appears in E2E_RESULTS and per-sample records (original RRC
+    # semantics; reference declares the arrays at text_eval_script.py:259-260).
+    gts1 = [
+        EvalInstance(quad(0, 0, 20, 10), "HELLO"),
+        EvalInstance(quad(40, 0, 20, 10), "###"),  # don't care
+        EvalInstance(quad(80, 0, 20, 10), "WORLD"),
+    ]
+    dets1 = [
+        EvalInstance(quad(1, 0, 20, 10), "hello", confidence=0.9),   # correct
+        EvalInstance(quad(41, 0, 20, 10), "junk", confidence=0.8),   # dontcare-covered: excluded
+        EvalInstance(quad(80, 0, 20, 10), "word", confidence=0.7),   # matched, wrong text
+    ]
+    gts2 = [EvalInstance(quad(0, 0, 20, 10), "FOO")]
+    dets2 = [EvalInstance(quad(0, 0, 20, 10), "foo", confidence=0.5)]
+
+    per_sample = {}
+    res = evaluate_dataset(
+        {"1": gts1, "2": gts2},
+        {"1": dets1, "2": dets2},
+        per_sample=per_sample,
+        confidences=True,
+    )
+    # Global care dets ranked by conf: (0.9 T) (0.7 F) (0.5 T); gt_care = 3.
+    expected_ap = (1.0 / 1.0 + 2.0 / 3.0) / 3.0
+    assert abs(res["E2E_RESULTS"]["AP"] - expected_ap) < 1e-12
+    # Per-sample: image 1 -> [(0.9 T), (0.7 F)], gt_care 2 -> AP = 0.5;
+    # image 2 -> [(0.5 T)], gt_care 1 -> AP = 1.0.
+    assert abs(per_sample["1"]["AP"] - 0.5) < 1e-12
+    assert abs(per_sample["2"]["AP"] - 1.0) < 1e-12
+    # Flag off: no AP key anywhere, P/R/H unchanged.
+    res_off = evaluate_dataset({"1": gts1}, {"1": dets1})
+    assert "AP" not in res_off["E2E_RESULTS"]

@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--tta", action="store_true",
                    help="test-time augmentation (TEST.AUG multi-scale+flip; "
                         "reference Trainer.test_with_TTA)")
+    p.add_argument("--params", action="store_true",
+                   help="print the per-module parameter census "
+                        "(reference eval_glass.py:147-181)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 runs batched (vmapped) inference per bucket")
@@ -99,6 +102,10 @@ def main():
     from glass_tpu.inference import GlassRunner
 
     runner = GlassRunner(model_path=args.model, cfg=cfg)
+    if args.params:
+        from glass_tpu.utils.common import format_parameter_census, parameter_census
+
+        print(format_parameter_census(parameter_census(runner.params), per_param=True))
     tta_runner = None
     if args.tta or cfg.TEST.AUG.ENABLED:
         from glass_tpu.inference.tta import GlassRunnerWithTTA
