@@ -42,6 +42,11 @@ import numpy as np
 # torch-CPU same-arch mirror forward, this host, 1 thread (see BASELINE.md).
 TORCH_CPU_MIRROR_IPS = 0.0434
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 / 394 TOPS int8.  MFU here is
+# XLA-cost-analysis FLOPs / measured time / bf16 peak — conservative for
+# the f32 fraction of the program (which runs below bf16 peak).
+V5E_PEAK_FLOPS = 197e12
+
 
 def _run():
     import jax
@@ -69,6 +74,12 @@ def _run():
     cfg.POST_PROCESSING.DETECT_THRESHOLD = 0.0
     cfg.POST_PROCESSING.VALID_CONFIDENCE = 0.0
 
+    # A/B escape hatch: GLASS_BENCH_OPTS="TPU.CROP_BACKEND xla ..." merges
+    # config overrides so backend A/Bs run through the exact driver bench.
+    extra_opts = os.environ.get("GLASS_BENCH_OPTS", "").split()
+    if extra_opts:
+        cfg.merge_from_list(extra_opts)
+
     arch = GlassArch.from_config(cfg)
     params = init_glass_params(jax.random.PRNGKey(0), arch)
 
@@ -94,6 +105,29 @@ def _run():
         out = fn(params, image, content_hw)
     fetch(out)
     model_only_ips = n_iters / (time.perf_counter() - start)
+
+    # Backend provenance + analytic FLOPs of exactly this program.
+    from glass_tpu.models.glass_rcnn import resolved_crop_backend
+
+    backends = {
+        "crop": resolved_crop_backend(arch, (h, w), train=False, raw_uint8=True),
+        "pool": cfg.TPU.ROI_ALIGN_BACKEND,
+        "match": cfg.TPU.MATCH_BACKEND,
+        "rpn_sampler": cfg.TPU.RPN_SAMPLER,
+        "compute_dtype": cfg.TPU.COMPUTE_DTYPE,
+        "maxpool_vjp": os.environ.get("GLASS_TPU_MAXPOOL_VJP", "dense"),
+    }
+    serve_flops = None
+    serve_mfu = None
+    try:
+        analysis = fn.lower(params, image, content_hw).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        serve_flops = float(analysis.get("flops", 0.0))
+        if serve_flops and jax.default_backend() != "cpu":
+            serve_mfu = serve_flops * model_only_ips / V5E_PEAK_FLOPS
+    except Exception:
+        pass
 
     # ---- e2e batched eval path ------------------------------------------
     from glass_tpu.inference import GlassRunner
@@ -164,12 +198,66 @@ def _run():
     dt = time.perf_counter() - start
     e2e_device_resident_b4_ips = n_rounds * b / dt
 
-    return {
+    # ---- chip-health probe ----------------------------------------------
+    # One fused fori_loop of 100 chained 4096^2 bf16 matmuls: a 2-line
+    # independent measurement of the device's delivered matmul rate, so a
+    # degraded tunnel/chip session is visible in the record next to the
+    # numbers it taints (v5e healthy: ~130+ TFLOP/s with the tanh mixed in).
+    probe_tflops = None
+    try:
+        x = jnp.ones((4096, 4096), jnp.bfloat16)
+
+        @jax.jit
+        def _probe(x):
+            return jax.lax.fori_loop(
+                0, 100, lambda i, a: jnp.tanh(a @ x) * 1.0001, x
+            )
+
+        np.asarray(_probe(x)[:1, :1].astype(jnp.float32))  # compile+warm
+        start = time.perf_counter()
+        np.asarray(_probe(x)[:1, :1].astype(jnp.float32))
+        probe_tflops = round(2 * 4096**3 * 100 / (time.perf_counter() - start) / 1e12, 1)
+    except Exception:
+        pass
+
+    # ---- training throughput (pinned methodology, tools/train_bench.py) --
+    # SynthText pretrain config, b=1/chip, 1024x1024, full losses.
+    train = {}
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import train_bench
+
+        tr = train_bench.measure(steps=10, with_flops=True)
+        train = {
+            "train_ms_per_step": round(tr["ms_per_step"], 1),
+            "train_ips_per_chip": round(tr["ips_per_chip"], 2),
+            "train_flops": tr.get("flops"),
+            "train_mfu": (
+                round(tr["flops"] / (tr["ms_per_step"] / 1e3) / V5E_PEAK_FLOPS, 4)
+                if tr.get("flops") and jax.default_backend() != "cpu"
+                else None
+            ),
+            "train_backends": {
+                "match": tr["match_backend"],
+                "rpn_sampler": tr["rpn_sampler"],
+                "maxpool_vjp": tr["maxpool_vjp"],
+            },
+        }
+    except Exception as e:
+        train = {"train_error": f"{type(e).__name__}: {e}"[:160]}
+
+    detail = {
         "model_only_single_ips": round(model_only_ips, 3),
         "e2e_device_resident_b4_ips": round(e2e_device_resident_b4_ips, 3),
         "e2e_tunnel_b4_ips": round(e2e_tunnel_b4_ips, 3),
+        "serve_backends": backends,
+        "serve_flops": serve_flops,
+        "serve_model_mfu": round(serve_mfu, 4) if serve_mfu else None,
+        "chip_matmul_tflops": probe_tflops,
         "note": "tunnel number includes this dev env's ~19MB/s host-chip link",
     }
+    detail.update(train)
+    return detail
 
 
 def main():

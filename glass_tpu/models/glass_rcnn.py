@@ -480,7 +480,34 @@ def detect_single_image(
     )
 
 
-def recognize_single_image(
+def resolved_crop_backend(
+    arch: GlassArch, image_hw, train: bool, raw_uint8: bool
+) -> str:
+    """Which raw-image crop gather the TPU.CROP_BACKEND rule picks at these
+    shapes — "pallas" (tile-DMA kernel), "xla_u8" (uint8-packed gather with
+    normalization folded in) or "xla" (row gather on the normalized image).
+
+    The auto rule: the Pallas kernel replaces the per-element-bound XLA
+    gather on TPU serving (the top single op of the frame, PERF_NOTES
+    round 3); grad and CPU runs and non-(128,128)/grid-1 configs keep the
+    XLA formulation.  Exposed so bench.py can record backend provenance
+    with its numbers.
+    """
+    use_pallas = (
+        arch.crop_backend != "xla"
+        and not train
+        and arch.img_crop_sampling_ratio == 1
+        and tuple(arch.img_crop_hw) == (128, 128)
+        and image_hw[0] >= 136
+        and image_hw[1] >= 256
+        and (arch.crop_backend == "pallas" or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        return "pallas"
+    return "xla_u8" if raw_uint8 else "xla"
+
+
+def recognizer_encode(
     ctx: Ctx,
     arch: GlassArch,
     params: dict,
@@ -489,14 +516,16 @@ def recognize_single_image(
     boxes: jnp.ndarray,
     raw_image: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """The GLASS fusion hot path (reference call stack 3.4).
+    """The GLASS fusion hot path up to the encoder sequence (reference call
+    stack 3.4 minus the decoder): P2P3 fusion -> global pool + raw-image
+    crops -> local CNN -> GC-attention fusion -> recognizer CNN -> BiLSTM.
 
     norm_image: (H, W, 3) normalized padded image; boxes (D, 5).
     raw_image: optional (H, W, 3) uint8 original — when given, the raw
         crops are pooled straight from it with the normalization folded in
         (half the gather elements of the packed-bf16 path; see
         ``ops.roi_align_rotated``).
-    Returns (D, max_word_len + 1, V) per-step char probabilities.
+    Returns encoder outputs (D, T, C).
     """
     rh = params["roi_heads"]
     p2, p3 = feats["p2"], feats["p3"]
@@ -521,20 +550,13 @@ def recognize_single_image(
         from .pooler_pad import feat_pad_v2_mask
 
         global_feats = feat_pad_v2_mask(global_feats, pad_ratio)
-    # Crop backend selection (TPU.CROP_BACKEND): the Pallas tile-DMA kernel
-    # replaces the per-element-bound XLA gather on TPU serving (the top
-    # single op of the frame, PERF_NOTES round 3); grad and CPU runs and
-    # non-(128,128)/grid-1 configs keep the XLA formulation.
-    use_pallas = (
-        arch.crop_backend != "xla"
-        and not ctx.train
-        and arch.img_crop_sampling_ratio == 1
-        and tuple(arch.img_crop_hw) == (128, 128)
-        and norm_image.shape[0] >= 136
-        and norm_image.shape[1] >= 256
-        and (arch.crop_backend == "pallas" or jax.default_backend() == "tpu")
+    backend = resolved_crop_backend(
+        arch,
+        norm_image.shape[:2],
+        train=ctx.train,
+        raw_uint8=raw_image is not None and raw_image.dtype == jnp.uint8,
     )
-    if use_pallas:
+    if backend == "pallas":
         from ..ops.pallas_crop import crop_rois_pallas
 
         crops = crop_rois_pallas(
@@ -543,7 +565,7 @@ def recognize_single_image(
             # interpreter; Mosaic lowering is TPU-only.
             interpret=jax.default_backend() != "tpu",
         ).astype(arch.compute_dtype)
-    elif raw_image is not None and raw_image.dtype == jnp.uint8:
+    elif backend == "xla_u8":
         crops = roi_align_rotated(
             raw_image, boxes, arch.img_crop_hw, spatial_scale=1.0,
             sampling_ratio=arch.img_crop_sampling_ratio,
@@ -566,9 +588,26 @@ def recognize_single_image(
     x = apply_fusion(
         ctx, rh["fusion_net"], x, arch.fusion_name, arch.fusion_type, arch.gc_headers
     )
-    enc = recognizer_layers_apply(
+    return recognizer_layers_apply(
         ctx, rh["recognizer_head"], x, arch.recognizer_backbone
     )
+
+
+def recognize_single_image(
+    ctx: Ctx,
+    arch: GlassArch,
+    params: dict,
+    feats: Dict[str, jnp.ndarray],
+    norm_image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    raw_image: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """``recognizer_encode`` + the decoder: (D, max_word_len + 1, V)
+    per-step char probabilities (CTC: (D, T, V) per-timestep probs)."""
+    enc = recognizer_encode(
+        ctx, arch, params, feats, norm_image, boxes, raw_image=raw_image
+    )
+    rh = params["roi_heads"]
     if arch.recognizer_decoder == "CTC":
         from .recognizer import ctc_logits
 

@@ -89,8 +89,18 @@ def make_parallel_train_step(
         check_vma=False,
     )
 
-    @jax.jit
-    def step(params, opt_state, batch, key):
+    import os
+    from functools import partial
+
+    # Donating params/opt_state aliases the output buffers onto the inputs:
+    # in-place update semantics, halving peak HBM for params+momentum.
+    # Callers must treat the passed-in params/opt_state as consumed (the
+    # trainer and benches already do); CPU ignores donation.
+    # GLASS_TPU_DONATE=0 opts out (e.g. when probing tunnel-runtime
+    # feedback behavior, PERF_NOTES round 4).
+    donate = (0, 1) if os.environ.get("GLASS_TPU_DONATE", "1") != "0" else ()
+
+    def step_body(params, opt_state, batch, key):
         total, loss_dict, grads, bn_updates = grads_sharded(params, batch, key)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
@@ -99,4 +109,38 @@ def make_parallel_train_step(
         metrics["total_loss"] = total
         return params, opt_state, metrics
 
+    step = partial(jax.jit, donate_argnums=donate)(step_body)
+    step.body = step_body  # for make_parallel_train_loop
     return step
+
+
+def make_parallel_train_loop(step, n_steps: int) -> Callable:
+    """Wrap a ``make_parallel_train_step`` result in ONE jit program that
+    runs ``n_steps`` consecutive steps on the same batch, the params/
+    opt_state feedback carried INSIDE the program (XLA aliases loop
+    carries in place).
+
+    This is the benchmarking methodology that stays device-time-faithful
+    on remote/tunneled runtimes: a host-dispatched step loop feeds step
+    N's outputs back as step N+1's inputs, which the axon tunnel runtime
+    round-trips through the host (~600 MB of params+momentum per step —
+    measured 0.14 s/step dispatched-without-feedback vs 12-52 s/step with,
+    PERF_NOTES round 4).  Per-step cost = total / n_steps; dispatch and
+    fetch amortize exactly like the 10-step pipelined-dispatch window this
+    replaces, so the numbers are comparable.
+    """
+    body = step.body
+
+    @jax.jit
+    def loop(params, opt_state, batch, key):
+        def one(i, carry):
+            p, o, _ = carry
+            return body(p, o, batch, jax.random.fold_in(key, i))
+
+        zero_metrics = jax.eval_shape(body, params, opt_state, batch, key)[2]
+        init_metrics = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), zero_metrics
+        )
+        return jax.lax.fori_loop(0, n_steps, one, (params, opt_state, init_metrics))
+
+    return loop

@@ -135,3 +135,69 @@ def test_bf16_vs_f32_stage_deltas(setup):
         f"dlogit {dlogit:.4f}, ddelta {ddelta:.4f}, "
         f"dprob {dprob:.4f}, dmask {dmask:.4f}"
     )
+
+
+def test_bf16_vs_f32_decoder_logits(setup):
+    """Non-vacuous recognizer bound (VERDICT r3 weak #6): at random init the
+    greedy char distributions saturate to one-hot, so a prob-delta bound is
+    trivially ~0.  Bound the quantities that actually carry information:
+
+    * PRE-softmax teacher-forced decoder logits (relative), and
+    * greedy char probabilities with the output projection rescaled so the
+      distributions are demonstrably non-degenerate (entropy asserted).
+    """
+    arch32, arch16, params, img, boxes = setup
+    from glass_tpu.models.glass_rcnn import recognizer_encode
+    from glass_tpu.models.recognizer import aster_decode_greedy, aster_decode_train
+
+    def enc_of(arch):
+        def fn(p, im, bx):
+            ctx = Ctx(train=False)
+            norm = preprocess(arch, im)
+            feats = backbone_features(ctx, arch, p, norm[None])
+            return recognizer_encode(ctx, arch, p, feats, norm, bx).astype(
+                jnp.float32
+            )
+
+        return jax.jit(fn)(params, img, boxes)
+
+    enc32, enc16 = enc_of(arch32), enc_of(arch16)
+
+    dec = params["roi_heads"]["recognizer_head"]["decoder"]
+    T = arch32.max_word_len + 1
+    targets = jnp.asarray(
+        np.random.RandomState(1).randint(2, 60, (boxes.shape[0], T + 1)),
+        jnp.int32,
+    )
+    tf_logits = jax.jit(lambda e: aster_decode_train(dec, e, targets, T))
+    logits32 = np.asarray(tf_logits(enc32), np.float32)
+    logits16 = np.asarray(tf_logits(enc16), np.float32)
+
+    scale = float(np.abs(logits32).max())
+    assert scale > 0.5, "decoder logits degenerate; bound would be vacuous"
+    rel = np.abs(logits32 - logits16).max() / scale
+    # measured ~1e-2 at random init (decoder runs f32; the delta enters
+    # through the bf16 encoder sequence) — recorded in BASELINE.md
+    assert rel <= 0.05, f"teacher-forced logit rel delta {rel:.4f}"
+
+    # De-saturated greedy: rescale fc so distributions carry entropy, then
+    # the prob bound is meaningful (the lexicon/weighted-ED consumable).
+    s = 2.0 / scale
+    dec_soft = dict(dec)
+    dec_soft["fc"] = {
+        "weight": dec["fc"]["weight"] * s,
+        "bias": dec["fc"]["bias"] * s,
+    }
+    greedy = jax.jit(lambda e: aster_decode_greedy(dec_soft, e, T))
+    p32 = np.asarray(greedy(enc32), np.float32)
+    p16 = np.asarray(greedy(enc16), np.float32)
+    emitted = p32.sum(-1) > 0.5  # zero rows = post-break padding
+    assert emitted.any()
+    max_prob = p32[emitted].max(-1)
+    assert max_prob.mean() < 0.95, "still saturated; entropy check failed"
+    dprob = np.abs(p32 - p16).max()
+    assert dprob <= 0.08, f"de-saturated char-prob delta {dprob:.4f}"
+    print(
+        f"decoder bf16-vs-f32: tf-logit rel {rel:.4f} (scale {scale:.1f}), "
+        f"de-saturated dprob {dprob:.4f}, mean max-prob {max_prob.mean():.3f}"
+    )

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Per-stage MFU table for the serve frame and the train step.
+
+MFU = (XLA cost-analysis FLOPs of the compiled stage program)
+      / (measured device time) / (v5e bf16 peak 197 TFLOP/s).
+
+Timing uses the pinned tunnel-immune methodology (one jit program with a
+K-rep dependency-chained ``lax.fori_loop``, single dispatch + fetch —
+tools/profile_breakdown.py).  FLOPs come from compiling the SINGLE-rep
+stage: XLA's analytic count of exactly the program being timed.
+
+The bf16-peak denominator is conservative for f32 fractions of a stage
+(f32 runs below bf16 peak), and XLA's count is the *implemented* FLOPs
+(after fusion/simplification), not a paper-math minimum.
+
+Usage: python tools/mfu_breakdown.py [serve|train ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from glass_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+import profile_breakdown as pb
+
+V5E_PEAK_FLOPS = 197e12
+
+
+def stage_flops(fn, args):
+    analysis = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(analysis, (list, tuple)):
+        analysis = analysis[0]
+    return float(analysis.get("flops", 0.0))
+
+
+def serve_stages():
+    """(name, single_rep_fn, args, chained_builder) for the serve frame."""
+    s = pb._model_state()
+    G, arch = s["G"], s["arch"]
+    flat, tree = jax.tree_util.tree_flatten(s["feats"])
+
+    def backbone(img):
+        return G.backbone_features(
+            G.Ctx(train=False), arch, s["params"], G.preprocess(arch, img)[None]
+        )
+
+    def detect(f0, *rest):
+        feats = jax.tree_util.tree_unflatten(tree, [f0, *rest])
+        return G.detect_single_image(
+            G.Ctx(train=False), arch, s["params"], feats, s["content_hw"]
+        )
+
+    def recognize(boxes, *rest):
+        feats = jax.tree_util.tree_unflatten(tree, list(rest))
+        return G.recognize_single_image(
+            G.Ctx(train=False), arch, s["params"], feats, s["norm"], boxes
+        )
+
+    def mask(boxes, *rest):
+        feats = jax.tree_util.tree_unflatten(tree, list(rest))
+        return G.mask_single_image(
+            G.Ctx(train=False), arch, s["params"], feats, boxes,
+            jnp.zeros((boxes.shape[0],), jnp.int32),
+        )
+
+    def e2e(img):
+        return G.glass_inference_single(arch, s["params"], img, s["content_hw"])
+
+    return [
+        ("backbone_fpn", backbone, (s["image"],), 0),
+        ("detect(rpn+box+nms)", detect, tuple(flat), 0),
+        ("recognizer(crop+fuse+read)", recognize, (s["boxes"], *flat), 0),
+        ("mask_head", mask, (s["boxes"], *flat), 0),
+        ("e2e_serve_frame", e2e, (s["image"],), 0),
+    ]
+
+
+def run_serve():
+    print(f"== serve frame (736x1280, {pb.K}-rep chained loops) ==")
+    rows = []
+    for name, fn, args, perturb in serve_stages():
+        flops = stage_flops(fn, args)
+        loop_fn, loop_args = pb._stage_loop(fn, perturb, args)
+        out = loop_fn(*loop_args)
+        jax.tree_util.tree_map(np.asarray, out)  # compile+warm
+        t0 = time.perf_counter()
+        jax.tree_util.tree_map(np.asarray, loop_fn(*loop_args))
+        ms = (time.perf_counter() - t0) / pb.K * 1e3
+        mfu = flops / (ms / 1e3) / V5E_PEAK_FLOPS
+        rows.append({"stage": name, "ms": round(ms, 3),
+                     "gflops": round(flops / 1e9, 2), "mfu": round(mfu, 4)})
+        print(f"{name:30s} {ms:8.3f} ms  {flops/1e9:9.2f} GFLOP  MFU {mfu*100:5.1f}%",
+              flush=True)
+    return rows
+
+
+def run_train():
+    print("== train step (pinned tools/train_bench.py methodology) ==")
+    import train_bench
+
+    tr = train_bench.measure(steps=10, with_flops=True)
+    mfu = (
+        tr["flops"] / (tr["ms_per_step"] / 1e3) / V5E_PEAK_FLOPS
+        if tr.get("flops")
+        else None
+    )
+    row = {"stage": "train_step", "ms": round(tr["ms_per_step"], 1),
+           "gflops": round((tr["flops"] or 0) / 1e9, 2),
+           "mfu": round(mfu, 4) if mfu else None}
+    print(f"train_step  {row['ms']} ms  {row['gflops']} GFLOP  "
+          f"MFU {100*(mfu or 0):5.1f}%")
+    return [row]
+
+
+def main():
+    what = sys.argv[1:] or ["serve", "train"]
+    rows = []
+    if "serve" in what:
+        rows += run_serve()
+    if "train" in what:
+        rows += run_train()
+    print(json.dumps({"mfu_table": rows}))
+
+
+if __name__ == "__main__":
+    main()

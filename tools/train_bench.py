@@ -69,22 +69,30 @@ def make_batch(b, h, w, g_real, g_cap, max_word_len, seed=0):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--gts", type=int, default=24)
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--opts", nargs="*", default=[])
-    args = ap.parse_args()
+def measure(
+    gts=24, batch=1, steps=10, size=1024, opts=(), with_flops=False,
+    ingraph=None,
+):
+    """Run the pinned train-step benchmark; returns a result dict.
 
+    with_flops: also read the XLA cost analysis of the compiled step
+    (analytic FLOPs) so callers can derive MFU = flops / time / peak.
+
+    ingraph: run the ``steps`` iterations as ONE jit program with the
+    params/opt_state feedback internal to the program (lax.fori_loop
+    carry) instead of a host-dispatched loop.  Default: on for TPU, off
+    for CPU.  Equivalent device work per step; immune to the tunnel
+    runtime's host round-trip of fed-back outputs (PERF_NOTES round 4 —
+    the dispatched loop measured 12-52 s/step of pure tunnel transfer on
+    an otherwise healthy chip).
+    """
     from glass_tpu.config import get_cfg
 
     cfg = get_cfg(
         os.path.join(os.path.dirname(__file__), "..", "configs", "glass_pretrain.yaml")
     )
-    if args.opts:
-        cfg.merge_from_list(args.opts)
+    if opts:
+        cfg.merge_from_list(list(opts))
 
     import optax
 
@@ -95,7 +103,7 @@ def main():
     arch = GlassArch.from_config(cfg)
     tcfg = TrainConfig.from_config(cfg)
     params = init_glass_params(jax.random.PRNGKey(0), arch)
-    mesh = make_mesh(jax.devices()[: args.batch] or jax.devices())
+    mesh = make_mesh(jax.devices()[:batch] or jax.devices())
     tx = optax.sgd(1e-3, momentum=0.9)
 
     def loss_fn(p, batch, key):
@@ -108,28 +116,71 @@ def main():
     step = make_parallel_train_step(mesh, loss_fn, tx)
 
     g_cap = cfg.TPU.MAX_GT_INSTANCES
-    batch = make_batch(
-        args.batch, args.size, args.size, args.gts, g_cap, arch.max_word_len
-    )
-    batch = shard_batch(mesh, batch)
+    data = make_batch(batch, size, size, gts, g_cap, arch.max_word_len)
+    data = shard_batch(mesh, data)
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    params, opt_state, metrics = step(params, opt_state, batch, key)
-    np.asarray(metrics["total_loss"])
+    if ingraph is None:
+        ingraph = jax.default_backend() != "cpu"
+    if ingraph:
+        from glass_tpu.parallel.mesh import make_parallel_train_loop
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        params, opt_state, metrics = step(
-            params, opt_state, batch, jax.random.fold_in(key, i)
-        )
-    np.asarray(metrics["total_loss"])  # fetch-last: the only true barrier
-    dt = (time.perf_counter() - t0) / args.steps * 1e3
+        loop = make_parallel_train_loop(step, steps)
+        p, o, metrics = loop(params, opt_state, data, key)  # warmup/compile
+        np.asarray(metrics["total_loss"])
+        t0 = time.perf_counter()
+        p, o, metrics = loop(params, opt_state, data, jax.random.fold_in(key, 7))
+        np.asarray(metrics["total_loss"])  # fetch: the only true barrier
+        dt = (time.perf_counter() - t0) / steps * 1e3
+    else:
+        # host-dispatched loop (the pre-round-4 methodology)
+        params, opt_state, metrics = step(params, opt_state, data, key)
+        np.asarray(metrics["total_loss"])
+        t0 = time.perf_counter()
+        for i in range(steps):
+            params, opt_state, metrics = step(
+                params, opt_state, data, jax.random.fold_in(key, i)
+            )
+        np.asarray(metrics["total_loss"])
+        dt = (time.perf_counter() - t0) / steps * 1e3
+    result = {
+        "ms_per_step": dt,
+        "ips_per_chip": batch / (dt / 1e3) / max(1, len(mesh.devices.flat)),
+        "batch": batch,
+        "size": size,
+        "gts": gts,
+        "match_backend": cfg.TPU.MATCH_BACKEND,
+        "rpn_sampler": cfg.TPU.RPN_SAMPLER,
+        "maxpool_vjp": os.environ.get("GLASS_TPU_MAXPOOL_VJP", "dense"),
+    }
+    if with_flops:
+        try:
+            analysis = step.lower(params, opt_state, data, key).compile().cost_analysis()
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            result["flops"] = float(analysis.get("flops", 0.0))
+        except Exception:
+            result["flops"] = None
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gts", type=int, default=24)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--opts", nargs="*", default=[])
+    ap.add_argument("--dispatched", action="store_true",
+                    help="force the host-dispatched step loop")
+    args = ap.parse_args()
+    r = measure(args.gts, args.batch, args.steps, args.size, args.opts,
+                ingraph=False if args.dispatched else None)
     print(
-        f"train_step: {dt:.1f} ms/step  (b={args.batch}, {args.size}x{args.size}, "
-        f"G={args.gts}/{g_cap}, backend={cfg.TPU.MATCH_BACKEND}, "
-        f"sampler={cfg.TPU.RPN_SAMPLER})"
+        f"train_step: {r['ms_per_step']:.1f} ms/step  (b={r['batch']}, "
+        f"{r['size']}x{r['size']}, G={r['gts']}, backend={r['match_backend']}, "
+        f"sampler={r['rpn_sampler']}, maxpool_vjp={r['maxpool_vjp']})"
     )
 
 
