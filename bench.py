@@ -115,7 +115,7 @@ def _run():
         "match": cfg.TPU.MATCH_BACKEND,
         "rpn_sampler": cfg.TPU.RPN_SAMPLER,
         "compute_dtype": cfg.TPU.COMPUTE_DTYPE,
-        "maxpool_vjp": os.environ.get("GLASS_TPU_MAXPOOL_VJP", "dense"),
+        "maxpool_vjp": os.environ.get("GLASS_TPU_MAXPOOL_VJP", "sas"),
     }
     serve_flops = None
     serve_mfu = None

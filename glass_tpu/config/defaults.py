@@ -480,21 +480,30 @@ def get_default_config() -> CN:
     # (matcher.auto_match_pool: ~416 candidates/gt, floor 16384 — exact in
     # gt-dense regimes at ~25% extra step time).
     _C.TPU.MATCH_POOL = 16384
-    # RPN anchor-matcher backend: "scan" (blockwise bound over the full
-    # anchor axis) or "tiled" (hierarchical tile pre-filter — the bound
-    # first runs on ~400*K inflated tile covers, then only live tiles'
-    # anchors are materialized; exact up to the same pool rules, see
-    # matcher.rpn_label_anchors_tiled).
-    _C.TPU.MATCH_BACKEND = "scan"
+    # RPN anchor-matcher backend: "tiled" (hierarchical tile pre-filter —
+    # the bound first runs on ~400*K inflated tile covers, then only live
+    # tiles' anchors are materialized; exact up to the same pool rules,
+    # see matcher.rpn_label_anchors_tiled) or "scan" (blockwise bound
+    # over the full anchor axis).  Default set by the round-4 on-chip
+    # interleaved A/B: tiled+pool 86.8 vs scan+axis 90.7 ms/step at
+    # G=24 (89.5 vs 94.4 at G=100), PERF_NOTES round 4.
+    _C.TPU.MATCH_BACKEND = "tiled"
     # Live-tile pool capacity of the tiled matcher (each tile covers 16x16
     # grid cells of one cell-anchor type); overflow is surfaced as the
     # `matcher_tile_dropped` metric.
     _C.TPU.MATCH_TILE_CAP = 512
-    # RPN fg/bg subsampler: "axis" (priorities + top-k over the anchor
-    # axis) or "pool" (samples positives from the matcher pools and
-    # negatives by rejection — no million-anchor pass; requires
-    # MATCH_BACKEND="tiled"; see matcher.subsample_rpn_from_pools).
-    _C.TPU.RPN_SAMPLER = "axis"
+    # RPN fg/bg subsampler: "pool" (samples positives from the matcher
+    # pools and negatives by rejection — no million-anchor pass; requires
+    # MATCH_BACKEND="tiled"; see matcher.subsample_rpn_from_pools) or
+    # "axis" (priorities + top-k over the anchor axis).  Default set by
+    # the same round-4 A/B as MATCH_BACKEND above.
+    _C.TPU.RPN_SAMPLER = "pool"
+    # In-graph multi-step training: K minibatches staged + dispatched as
+    # ONE jit program (lax.scan over K optimizer steps, params feedback as
+    # the scan carry). Amortizes per-dispatch latency; step-for-step
+    # identical to K=1 (same per-iteration PRNG stream; checkpoint/eval/
+    # vis land on their exact iterations). 1 = dispatch per step.
+    _C.TPU.TRAIN_LOOP_STEPS = 1
     # Box/mask pooler kernel backend: "xla" (packed-pyramid gather,
     # default) or "pallas" (DMA-tile kernel — bit-exact alternative,
     # measured slower on v5e; see ops/pallas_roi_align.py).
@@ -515,8 +524,10 @@ def get_default_config() -> CN:
     # quarter of the gather cost. Set 2 for strict parity, 0 for adaptive
     # masking (same cost as CROP_MAX_SAMPLING_RATIO).
     _C.TPU.CROP_SAMPLING_RATIO = 1
-    # Raw-image crop pooler backend: "auto" (Pallas tile-DMA kernel on TPU
-    # serving, XLA gather elsewhere), "pallas", or "xla".
+    # Raw-image crop pooler backend: "auto" (= the XLA gather — the
+    # round-4 frame A/B measured the Pallas kernel slower in situ, 46.6
+    # vs 38.7 ms/frame; see models/glass_rcnn.py::resolved_crop_backend),
+    # "pallas" (explicit opt-in tile-DMA kernel), or "xla".
     _C.TPU.CROP_BACKEND = "auto"
     _C.TPU.CROP_MAX_SAMPLING_RATIO = 2
     # Split-capacity realisation of d2's adaptive (sampling_ratio=0) pooling

@@ -487,20 +487,21 @@ def resolved_crop_backend(
     shapes — "pallas" (tile-DMA kernel), "xla_u8" (uint8-packed gather with
     normalization folded in) or "xla" (row gather on the normalized image).
 
-    The auto rule: the Pallas kernel replaces the per-element-bound XLA
-    gather on TPU serving (the top single op of the frame, PERF_NOTES
-    round 3); grad and CPU runs and non-(128,128)/grid-1 configs keep the
-    XLA formulation.  Exposed so bench.py can record backend provenance
-    with its numbers.
+    The auto rule resolves to the XLA gather everywhere: the round-4
+    on-chip frame A/B measured the Pallas tile-DMA kernel SLOWER as a
+    frame (46.6 vs 38.7 ms/frame, serve_ab_r4.log) despite winning
+    standalone (2.5 vs 5.5 ms) — inside the frame the gather overlaps
+    neighbouring ops while the Mosaic kernel serializes.  "pallas" stays
+    available as an explicit opt-in at the shapes it supports.  Exposed
+    so bench.py can record backend provenance with its numbers.
     """
     use_pallas = (
-        arch.crop_backend != "xla"
+        arch.crop_backend == "pallas"
         and not train
         and arch.img_crop_sampling_ratio == 1
         and tuple(arch.img_crop_hw) == (128, 128)
         and image_hw[0] >= 136
         and image_hw[1] >= 256
-        and (arch.crop_backend == "pallas" or jax.default_backend() == "tpu")
     )
     if use_pallas:
         return "pallas"

@@ -211,10 +211,14 @@ def max_pool2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = (padding, padding)
-    # GLASS_TPU_MAXPOOL_VJP=sas restores XLA's native SelectAndScatter
-    # backward (A/B escape hatch; "dense" is the measured default).
+    # GLASS_TPU_MAXPOOL_VJP selects the backward: "sas" = XLA's native
+    # SelectAndScatter (measured default: 91.0 vs 97.4 ms/step for the
+    # dense custom VJP on the pinned v5e train bench, interleaved A/B,
+    # PERF_NOTES round 4), "dense" = the one-hot dense-gradient VJP
+    # (kept as an A/B escape hatch; exactness-tested in
+    # tests/test_maxpool_vjp.py).
     if jnp.issubdtype(x.dtype, jnp.floating) and (
-        os.environ.get("GLASS_TPU_MAXPOOL_VJP", "dense") != "sas"
+        os.environ.get("GLASS_TPU_MAXPOOL_VJP", "sas") == "dense"
     ):
         return _max_pool2d_densegrad(x, tuple(kernel), tuple(stride), tuple(padding))
     return _max_pool_fwd_raw(x, kernel, stride, padding)

@@ -144,3 +144,63 @@ def make_parallel_train_loop(step, n_steps: int) -> Callable:
         return jax.lax.fori_loop(0, n_steps, one, (params, opt_state, init_metrics))
 
     return loop
+
+
+def make_parallel_train_scan(step) -> Callable:
+    """K train steps on K DISTINCT batches in ONE jit program.
+
+    ``scan_fn(params, opt_state, batches, keys)`` where every leaf of
+    ``batches`` carries a leading step axis K (stacked minibatches,
+    sharded ``P(None, DATA_AXIS)``) and ``keys`` is the (K,) stack of
+    per-step PRNG keys (the caller folds the global iteration index in,
+    so the stream is identical to the one-dispatch-per-step loop): a
+    ``lax.scan`` over the step axis runs one optimizer step per minibatch
+    with the params/opt_state feedback as the scan carry
+    (device-resident, aliased in place).
+    Returns (params, opt_state, metrics) with every metric leaf stacked
+    (K,) so the caller logs each step individually.
+
+    This is the production TPU train-loop shape — one dispatch per K
+    steps amortizes per-dispatch latency and keeps the feedback loop off
+    the host entirely (on the dev tunnel, host-fed-back outputs cost
+    12-52 s/step; see PERF_NOTES round 4).  Enabled in the Trainer via
+    ``TPU.TRAIN_LOOP_STEPS``.
+    """
+    import os
+    from functools import partial
+
+    body = step.body
+    donate = (0, 1) if os.environ.get("GLASS_TPU_DONATE", "1") != "0" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
+    def scan_fn(params, opt_state, batches, keys):
+        def one(carry, xs):
+            p, o = carry
+            key, batch = xs
+            p, o, metrics = body(p, o, batch, key)
+            return (p, o), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            one, (params, opt_state), (keys, batches)
+        )
+        return params, opt_state, metrics
+
+    return scan_fn
+
+
+def shard_batch_stack(mesh: Mesh, batches: list) -> dict:
+    """Stack K host minibatches into one device tree with leading step
+    axis K and the per-step batch axis sharded over the data mesh axis
+    (``P(None, DATA_AXIS)``).  Multi-process: each process contributes its
+    local slice of every step's global batch, exactly like
+    ``shard_batch``."""
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), stacked
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        stacked,
+    )

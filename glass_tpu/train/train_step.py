@@ -508,6 +508,19 @@ def glass_train_forward(
             roi_align_rotated_adaptive,
         )
 
+        # FeatPadV2 pads the GLOBAL pool boxes (aspect-preserving) + masks
+        # the pooled features — at train time too, matching the reference's
+        # pooler wrapping which is train/eval-symmetric
+        # (recognizers_hybrid_head.py:464-471); raw-image crops stay
+        # unpadded on both paths.
+        if arch.pooler_pad == "FeatPadV2":
+            from ..models.pooler_pad import feat_pad_v2_boxes
+
+            pool_word_boxes, pad_ratio = jax.vmap(
+                lambda bx: feat_pad_v2_boxes(bx, arch.recognizer_pool_hw)
+            )(word_boxes)
+        else:
+            pool_word_boxes, pad_ratio = word_boxes, None
         global_f = jax.vmap(
             lambda fmap, bx: roi_align_rotated_adaptive(
                 fmap, bx, arch.recognizer_pool_hw,
@@ -516,7 +529,11 @@ def glass_train_forward(
                 bulk_sampling_ratio=arch.recognizer_pool_bulk_sampling_ratio,
                 large_roi_budget=arch.pool_large_roi_budget,
             )
-        )(fused, word_boxes)
+        )(fused, pool_word_boxes)
+        if pad_ratio is not None:
+            from ..models.pooler_pad import feat_pad_v2_mask
+
+            global_f = jax.vmap(feat_pad_v2_mask)(global_f, pad_ratio)
         crops = jax.vmap(
             lambda img, bx: roi_align_rotated(
                 img, bx, arch.img_crop_hw, spatial_scale=1.0,

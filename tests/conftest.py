@@ -14,6 +14,15 @@ import jax
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the compile-heavy slow tier (full-model
+# jits, trainer loops) is dominated by single-core XLA-CPU compiles;
+# caching makes re-runs cheap.  GLASS_TPU_NO_XLA_CACHE=1 opts out (e.g.
+# to measure cold-compile time).
+if os.environ.get("GLASS_TPU_NO_XLA_CACHE", "") != "1":
+    from glass_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -152,12 +152,16 @@ def test_upsample_nearest(rng):
         ((3, 2), (1, 2), (1, 0), (2, 9, 14, 3)),    # overlap + rect stride
     ],
 )
-def test_max_pool_dense_grad_matches_select_and_scatter(kernel, stride, pad, shape):
-    # the custom dense backward must reproduce XLA's SelectAndScatter VJP
-    # exactly, including the first-in-scan-order tie rule — quantized
-    # inputs force plenty of intra-window ties
+def test_max_pool_dense_grad_matches_select_and_scatter(
+    kernel, stride, pad, shape, monkeypatch
+):
+    # the custom dense backward (opt-in since the round-4 A/B flipped the
+    # default to the native SelectAndScatter) must reproduce XLA's
+    # SelectAndScatter VJP exactly, including the first-in-scan-order tie
+    # rule — quantized inputs force plenty of intra-window ties
     from glass_tpu.models.layers import _max_pool_fwd_raw, max_pool2d
 
+    monkeypatch.setenv("GLASS_TPU_MAXPOOL_VJP", "dense")
     rng = np.random.RandomState(0)
     x = jnp.asarray(np.round(rng.rand(*shape) * 4) / 4, jnp.float32)
     dy_seed = jnp.asarray(rng.rand(*np.asarray(
@@ -181,11 +185,12 @@ def test_max_pool_dense_grad_matches_select_and_scatter(kernel, stride, pad, sha
     np.testing.assert_allclose(g_ref, g_new, rtol=1e-6, atol=1e-7)
 
 
-def test_max_pool_dense_grad_bf16_and_vmap():
+def test_max_pool_dense_grad_bf16_and_vmap(monkeypatch):
     """bf16 inputs and vmap over a leading batch must keep the custom VJP
     routing identical to the native SelectAndScatter backward."""
     from glass_tpu.models.layers import _max_pool_fwd_raw, max_pool2d
 
+    monkeypatch.setenv("GLASS_TPU_MAXPOOL_VJP", "dense")
     rng = np.random.RandomState(5)
     x = jnp.asarray(np.round(rng.rand(3, 2, 12, 10, 4) * 8) / 8, jnp.bfloat16)
 

@@ -159,3 +159,23 @@ def test_parallel_train_step_8dev(tiny_params):
     )
     flat, _ = jax.tree_util.tree_flatten(d)
     assert max(flat) > 0
+
+
+def test_train_forward_featpad(tiny_params):
+    """FeatPadV2 applies to the TRAIN-side recognizer global pool too
+    (reference wraps the recognizer pooler for both train and inference,
+    recognizers_hybrid_head.py:464-471): the padded+masked pool must change
+    loss_decoder vs the unpadded arch while all losses stay finite."""
+    import dataclasses
+
+    batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+    arch_pad = dataclasses.replace(TINY_ARCH, pooler_pad="FeatPadV2")
+    total, losses, _ = glass_train_forward(
+        arch_pad, TINY_TCFG, tiny_params, batch, jax.random.PRNGKey(1)
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    _, losses_nopad, _ = glass_train_forward(
+        TINY_ARCH, TINY_TCFG, tiny_params, batch, jax.random.PRNGKey(1)
+    )
+    assert float(losses["loss_decoder"]) != float(losses_nopad["loss_decoder"])

@@ -5,7 +5,7 @@ cd "$(dirname "$0")/.."
 LOG=${1:-/root/repo/ab_r4.log}
 run() {
   echo "=== $* ===" >> "$LOG"
-  timeout 900 env "$@" >> "$LOG" 2>&1
+  timeout 1500 env "$@" >> "$LOG" 2>&1
   echo "rc=$?" >> "$LOG"
 }
 : > "$LOG"

@@ -75,15 +75,18 @@ def serve_stages():
             jnp.zeros((boxes.shape[0],), jnp.int32),
         )
 
-    def e2e(img):
-        return G.glass_inference_single(arch, s["params"], img, s["content_hw"])
+    def e2e(params, img):
+        # params as an ARGUMENT, not a closure: closed-over params embed as
+        # HLO constants, and the full model's constants blow the tunnel's
+        # remote-compile payload limit (HTTP 413).
+        return G.glass_inference_single(arch, params, img, s["content_hw"])
 
     return [
         ("backbone_fpn", backbone, (s["image"],), 0),
         ("detect(rpn+box+nms)", detect, tuple(flat), 0),
         ("recognizer(crop+fuse+read)", recognize, (s["boxes"], *flat), 0),
         ("mask_head", mask, (s["boxes"], *flat), 0),
-        ("e2e_serve_frame", e2e, (s["image"],), 0),
+        ("e2e_serve_frame", e2e, (s["params"], s["image"]), 1),
     ]
 
 
@@ -91,16 +94,50 @@ def run_serve():
     print(f"== serve frame (736x1280, {pb.K}-rep chained loops) ==")
     rows = []
     for name, fn, args, perturb in serve_stages():
-        flops = stage_flops(fn, args)
-        loop_fn, loop_args = pb._stage_loop(fn, perturb, args)
-        out = loop_fn(*loop_args)
-        jax.tree_util.tree_map(np.asarray, out)  # compile+warm
-        t0 = time.perf_counter()
-        jax.tree_util.tree_map(np.asarray, loop_fn(*loop_args))
-        ms = (time.perf_counter() - t0) / pb.K * 1e3
+        try:
+            flops = stage_flops(fn, args)
+            flops_src = "xla_cost_analysis"
+        except Exception as e:
+            # The dev tunnel's remote-compile endpoint rejects very large
+            # HLO payloads (HTTP 413) — seen only for the full e2e frame
+            # program.  The frame is the composition of the four component
+            # stages, so their summed analytic FLOPs are the honest
+            # fallback (the glue between stages is FLOP-free reshaping).
+            if name == "e2e_serve_frame" and rows:
+                flops = sum(r["gflops"] for r in rows if r["stage"] != name) * 1e9
+                flops_src = "sum_of_stages"
+                print(f"  (cost analysis unavailable for {name}: "
+                      f"{type(e).__name__}; using sum of component stages)",
+                      flush=True)
+            else:
+                raise
+        try:
+            loop_fn, loop_args = pb._stage_loop(fn, perturb, args)
+            out = loop_fn(*loop_args)
+            jax.tree_util.tree_map(np.asarray, out)  # compile+warm
+            t0 = time.perf_counter()
+            jax.tree_util.tree_map(np.asarray, loop_fn(*loop_args))
+            ms = (time.perf_counter() - t0) / pb.K * 1e3
+        except Exception as e:
+            # The K-rep chained program of the FULL frame also exceeds the
+            # tunnel's remote-compile payload limit (HTTP 413).  Fall back
+            # to pipelined dispatch of the single-rep program (bench.py's
+            # model-only methodology): K dispatches in flight, one fetch.
+            print(f"  (chained loop unavailable for {name}: "
+                  f"{type(e).__name__}; timing via pipelined dispatch)",
+                  flush=True)
+            jfn = jax.jit(fn)
+            jax.tree_util.tree_map(np.asarray, jfn(*args))  # compile+warm
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(pb.K):
+                out = jfn(*args)
+            jax.tree_util.tree_map(np.asarray, out)
+            ms = (time.perf_counter() - t0) / pb.K * 1e3
         mfu = flops / (ms / 1e3) / V5E_PEAK_FLOPS
         rows.append({"stage": name, "ms": round(ms, 3),
-                     "gflops": round(flops / 1e9, 2), "mfu": round(mfu, 4)})
+                     "gflops": round(flops / 1e9, 2), "mfu": round(mfu, 4),
+                     "flops_src": flops_src})
         print(f"{name:30s} {ms:8.3f} ms  {flops/1e9:9.2f} GFLOP  MFU {mfu*100:5.1f}%",
               flush=True)
     return rows

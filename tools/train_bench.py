@@ -152,7 +152,7 @@ def measure(
         "gts": gts,
         "match_backend": cfg.TPU.MATCH_BACKEND,
         "rpn_sampler": cfg.TPU.RPN_SAMPLER,
-        "maxpool_vjp": os.environ.get("GLASS_TPU_MAXPOOL_VJP", "dense"),
+        "maxpool_vjp": os.environ.get("GLASS_TPU_MAXPOOL_VJP", "sas"),
     }
     if with_flops:
         try:
