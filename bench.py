@@ -90,7 +90,7 @@ def _run():
         # materializing an output is the only true barrier.
         return jax.tree_util.tree_map(np.asarray, out)
 
-    # ---- model-only single image (round-1 metric, pipelined dispatch) ----
+    # ---- model-only single image (in-graph chained frames) ---------------
     # uint8 input: the dtype the eval pipeline actually uploads
     # (TPU.EVAL_UINT8_TRANSFER) — routes crops through the u8-packed gather.
     h, w = 736, 1280
@@ -98,13 +98,54 @@ def _run():
     content_hw = jnp.asarray([720, 1280], np.int32)
     fn = jax.jit(lambda p, im, hw: glass_inference_single(arch, p, im, hw))
     fetch(fn(params, image, content_hw))  # warmup / compile
-    n_iters = 20
-    start = time.perf_counter()
-    out = None
-    for _ in range(n_iters):
-        out = fn(params, image, content_hw)
-    fetch(out)
-    model_only_ips = n_iters / (time.perf_counter() - start)
+
+    # Frame methodology: K frames chained inside ONE jit program
+    # (fori_loop; input xor-varied per iteration so XLA cannot hoist the
+    # loop-invariant frame; all outputs reduced in-graph to one scalar).
+    # One dispatch + one 4-byte fetch per window makes the number pure
+    # device time — immune to the dev tunnel's link-load variance, which
+    # polluted the round-1..3 pipelined-dispatch numbers by 6-16 ms/frame
+    # (PERF_NOTES round 4).  Methodology cross-check: 32.3 ms chained vs
+    # 33.6 ms sum-of-stages (mfu_breakdown) vs 38.7 ms dispatched-at-best.
+    def _scalarize(out):
+        s = jnp.float32(0)
+        for x in jax.tree_util.tree_leaves(out):
+            s = s + jnp.sum(x[..., :1].astype(jnp.float32))
+        return s
+
+    k_frames = 10
+
+    @jax.jit
+    def chained_frames(p, im, hw):
+        def body(i, acc):
+            out = glass_inference_single(arch, p, im ^ jnp.uint8(i), hw)
+            return acc + _scalarize(out)
+
+        return jax.lax.fori_loop(0, k_frames, body, jnp.float32(0))
+
+    model_only_windows = []
+    try:
+        np.asarray(chained_frames(params, image, content_hw))  # compile
+        for _ in range(3):
+            start = time.perf_counter()
+            np.asarray(chained_frames(params, image, content_hw))
+            model_only_windows.append(
+                k_frames / (time.perf_counter() - start)
+            )
+        model_only_method = "chained_in_graph"
+    except Exception:
+        # Fallback: pipelined dispatch (exposed to link load; best-of-3
+        # windows since transient tunnel load only ever ADDS time).
+        for _ in range(3):
+            n_iters = 10
+            start = time.perf_counter()
+            out = None
+            for _ in range(n_iters):
+                out = fn(params, image, content_hw)
+            fetch(out)
+            model_only_windows.append(n_iters / (time.perf_counter() - start))
+        model_only_method = "pipelined_dispatch"
+    model_only_ips = max(model_only_windows)
 
     # Backend provenance + analytic FLOPs of exactly this program.
     from glass_tpu.models.glass_rcnn import resolved_crop_backend
@@ -187,16 +228,20 @@ def _run():
     postprocess((batch_fn(params, device_batch, hws_d), hws))  # compile
     # Same 1-deep software pipeline as eval_batch_call: round k+1's model
     # call is enqueued before round k's fetch + host post-processing.
-    n_rounds = 8
-    start = time.perf_counter()
-    inflight = batch_fn(params, device_batch, hws_d)
-    for _ in range(n_rounds - 1):
-        nxt = batch_fn(params, device_batch, hws_d)
+    # Best of 3 windows, same rationale as model-only above.
+    e2e_windows = []
+    for _ in range(3):
+        n_rounds = 8
+        start = time.perf_counter()
+        inflight = batch_fn(params, device_batch, hws_d)
+        for _ in range(n_rounds - 1):
+            nxt = batch_fn(params, device_batch, hws_d)
+            postprocess((inflight, hws))
+            inflight = nxt
         postprocess((inflight, hws))
-        inflight = nxt
-    postprocess((inflight, hws))
-    dt = time.perf_counter() - start
-    e2e_device_resident_b4_ips = n_rounds * b / dt
+        dt = time.perf_counter() - start
+        e2e_windows.append(n_rounds * b / dt)
+    e2e_device_resident_b4_ips = max(e2e_windows)
 
     # ---- chip-health probe ----------------------------------------------
     # One fused fori_loop of 100 chained 4096^2 bf16 matmuls: a 2-line
@@ -227,7 +272,7 @@ def _run():
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         import train_bench
 
-        tr = train_bench.measure(steps=10, with_flops=True)
+        tr = train_bench.measure(steps=10, with_flops=True, windows=3)
         train = {
             "train_ms_per_step": round(tr["ms_per_step"], 1),
             "train_ips_per_chip": round(tr["ips_per_chip"], 2),
@@ -248,12 +293,20 @@ def _run():
 
     detail = {
         "model_only_single_ips": round(model_only_ips, 3),
+        "model_only_method": model_only_method,
+        "model_only_windows_ips": [round(x, 3) for x in model_only_windows],
         "e2e_device_resident_b4_ips": round(e2e_device_resident_b4_ips, 3),
+        "e2e_windows_ips": [round(x, 3) for x in e2e_windows],
         "e2e_tunnel_b4_ips": round(e2e_tunnel_b4_ips, 3),
         "serve_backends": backends,
         "serve_flops": serve_flops,
         "serve_model_mfu": round(serve_mfu, 4) if serve_mfu else None,
         "chip_matmul_tflops": probe_tflops,
+        # Host contamination tripwire: the bench host has ONE core, so a
+        # concurrent process stalls dispatch/fetch threads (a 16:08
+        # round-4 session measured 10x-degraded dispatched numbers next
+        # to a healthy 136 TFLOP/s chip probe — host load, not the chip).
+        "host_loadavg_1m": round(os.getloadavg()[0], 2),
         "note": "tunnel number includes this dev env's ~19MB/s host-chip link",
     }
     detail.update(train)

@@ -71,7 +71,7 @@ def make_batch(b, h, w, g_real, g_cap, max_word_len, seed=0):
 
 def measure(
     gts=24, batch=1, steps=10, size=1024, opts=(), with_flops=False,
-    ingraph=None,
+    ingraph=None, windows=1,
 ):
     """Run the pinned train-step benchmark; returns a result dict.
 
@@ -126,13 +126,23 @@ def measure(
     if ingraph:
         from glass_tpu.parallel.mesh import make_parallel_train_loop
 
+        # (make_parallel_train_loop does not donate its inputs, so each
+        # window may re-feed the same params/opt_state arrays.)
         loop = make_parallel_train_loop(step, steps)
         p, o, metrics = loop(params, opt_state, data, key)  # warmup/compile
         np.asarray(metrics["total_loss"])
-        t0 = time.perf_counter()
-        p, o, metrics = loop(params, opt_state, data, jax.random.fold_in(key, 7))
-        np.asarray(metrics["total_loss"])  # fetch: the only true barrier
-        dt = (time.perf_counter() - t0) / steps * 1e3
+        # Each window = one dispatch + one scalar fetch; the best of
+        # ``windows`` trials strips the residual per-dispatch tunnel
+        # overhead (device time is a hard lower bound).
+        window_ms = []
+        for wi in range(max(1, windows)):
+            t0 = time.perf_counter()
+            p2, o2, metrics = loop(
+                params, opt_state, data, jax.random.fold_in(key, 7 + wi)
+            )
+            np.asarray(metrics["total_loss"])  # fetch: the only true barrier
+            window_ms.append((time.perf_counter() - t0) / steps * 1e3)
+        dt = min(window_ms)
     else:
         # host-dispatched loop (the pre-round-4 methodology)
         params, opt_state, metrics = step(params, opt_state, data, key)
