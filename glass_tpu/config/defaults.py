@@ -554,7 +554,9 @@ def get_default_config() -> CN:
     # correction uses the weighted edit distance (TEST.LEXICON_WEIGHTED /
     # --weighted-ed); tools/eval_glass.py switches automatically.
     _C.TPU.TEXT_EMIT = "topk"
-    _C.TPU.MASK_FETCH_DTYPE = "float16"  # mask probs fetch dtype
+    # mask probs fetch dtype: float32 | float16 | uint8 (1/255-quantized on
+    # device, dequantized by the runner; consumer is a 0.5 threshold)
+    _C.TPU.MASK_FETCH_DTYPE = "float16"
     # Eval/batched path: resize + upload uint8 images and normalize on
     # device (the reference uploads uint8 and converts on-device too,
     # glass_runner.py:133-134; detectron2's eval mapper resizes uint8).

@@ -45,6 +45,13 @@ def _set_text_fields(inst: Instances, out: dict, sel) -> None:
         inst.pred_text_step_scores = out["text_step_scores"][sel]
 
 
+def _unpack_masks(m: np.ndarray) -> np.ndarray:
+    """Dequantize a TPU.MASK_FETCH_DTYPE=uint8 mask fetch back to probs."""
+    if m.dtype == np.uint8:
+        return m.astype(np.float32) / 255.0
+    return m
+
+
 class GlassRunner:
     def __init__(
         self,
@@ -161,7 +168,7 @@ class GlassRunner:
         )
         _set_text_fields(inst, out, valid)
         if "mask_probs" in out:
-            inst.pred_masks = out["mask_probs"][valid]
+            inst.pred_masks = _unpack_masks(out["mask_probs"][valid])
             inst.pred_rboxes = out["boxes"][valid]
         return inst
 
@@ -299,7 +306,7 @@ class GlassRunner:
             )
             _set_text_fields(inst, {k: v[i] for k, v in out.items()}, valid)
             if "mask_probs" in out:
-                inst.pred_masks = out["mask_probs"][i][valid]
+                inst.pred_masks = _unpack_masks(out["mask_probs"][i][valid])
                 inst.pred_rboxes = out["boxes"][i][valid]
             results.append(inst)
         return results
@@ -523,10 +530,15 @@ class GlassRunner:
                     recognize_single_image(ctx, arch, params, feats, norm, bx),
                 )
                 if arch.mask_on and arch.mask_inference:
-                    out["mask_probs"] = mask_single_image(
-                        ctx, arch, params, feats, bx,
-                        jnp.zeros((bx.shape[0],), jnp.int32),
-                    ).astype(arch.mask_fetch_dtype)
+                    from ..models.glass_rcnn import _emit_mask
+
+                    out["mask_probs"] = _emit_mask(
+                        arch,
+                        mask_single_image(
+                            ctx, arch, params, feats, bx,
+                            jnp.zeros((bx.shape[0],), jnp.int32),
+                        ),
+                    )
                 return out
 
             self._jit_given_boxes = jax.jit(fn)
@@ -536,7 +548,7 @@ class GlassRunner:
         instances = instances[np.arange(n)]
         _set_text_fields(instances, out, np.arange(n))
         if "mask_probs" in out:
-            instances.pred_masks = out["mask_probs"][:n]
+            instances.pred_masks = _unpack_masks(out["mask_probs"][:n])
             instances.pred_rboxes = np.asarray(instances.pred_boxes)
         return instances
 

@@ -140,7 +140,11 @@ class GlassArch:
     # exactly what argmax decoding consumes). "probs": full (T, V)
     # distributions — required by weighted-edit-distance lexicon correction.
     text_emit: str = "topk"
-    # fetch dtype for mask probabilities (thresholded at 0.5 downstream)
+    # fetch dtype for mask probabilities (thresholded at 0.5 downstream):
+    # "float32"/"float16", or "uint8" = probs quantized to 1/255 steps on
+    # device (halves the mask fetch bytes again vs f16; max |dprob| 0.002,
+    # far inside the 0.5-threshold / paste-interpolation tolerance; the
+    # runner dequantizes on host)
     mask_fetch_dtype: str = "float16"
 
     @classmethod
@@ -698,10 +702,21 @@ def glass_inference_single(
         )
         out.update(_emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
-        out["mask_probs"] = mask_single_image(
-            ctx, arch, params, feats, det.boxes, det.classes
-        ).astype(arch.mask_fetch_dtype)
+        out["mask_probs"] = _emit_mask(
+            arch, mask_single_image(ctx, arch, params, feats, det.boxes, det.classes)
+        )
     return out
+
+
+def _emit_mask(arch: GlassArch, probs: jnp.ndarray) -> jnp.ndarray:
+    """Host-fetch representation of mask probabilities (TPU.MASK_FETCH_DTYPE).
+
+    ``uint8`` quantizes probs to 1/255 steps on device — the consumer is a
+    0.5 threshold after bilinear paste (reference ``mask_ops.py`` semantics),
+    so the 0.002 quantization error is inert; the runner dequantizes."""
+    if arch.mask_fetch_dtype == "uint8":
+        return jnp.round(probs * 255.0).astype(jnp.uint8)
+    return probs.astype(arch.mask_fetch_dtype)
 
 
 def _emit_text(arch: GlassArch, probs: jnp.ndarray) -> dict:
@@ -751,9 +766,13 @@ def glass_heads_stage(arch: GlassArch, params: dict, feats, norm: jnp.ndarray,
         )
         out.update(_emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
-        out["mask_probs"] = mask_single_image(
-            ctx, arch, params, feats, boxes, jnp.zeros((boxes.shape[0],), jnp.int32)
-        ).astype(arch.mask_fetch_dtype)
+        out["mask_probs"] = _emit_mask(
+            arch,
+            mask_single_image(
+                ctx, arch, params, feats, boxes,
+                jnp.zeros((boxes.shape[0],), jnp.int32),
+            ),
+        )
     return out
 
 

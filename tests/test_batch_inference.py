@@ -83,6 +83,54 @@ def test_eval_batch_call_pipelined_uint8():
             assert np.isfinite(np.asarray(r.pred_boxes)).all()
 
 
+def test_uint8_mask_fetch_matches_float32():
+    """TPU.MASK_FETCH_DTYPE=uint8 (1/255 device-side quantization, halves
+    the dominant output-fetch payload) must reproduce the float32 fetch to
+    within the quantization step through the real runner path — same
+    detections, mask probs within 1/510, and the 0.5-threshold consumer's
+    binary masks identical away from the quantization band."""
+    cfg = get_cfg(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "glass_finetune_icdar15.yaml")
+    )
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.TPU.IMAGE_BUCKETS = [[96, 96]]
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_WORD_LENGTH = 4
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE = True
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    cfg.POST_PROCESSING.DETECT_THRESHOLD = 0.0
+    cfg.POST_PROCESSING.VALID_CONFIDENCE = 0.0
+
+    rng = np.random.RandomState(2)
+    # already inside the single 96x96 bucket (dispatch_batch pads, it does
+    # not resize)
+    image = (rng.rand(90, 96, 3) * 255).astype(np.uint8)
+
+    outs = {}
+    for dtype in ("float32", "uint8"):
+        c = cfg.clone()
+        c.TPU.MASK_FETCH_DTYPE = dtype
+        runner = GlassRunner(model_path=None, cfg=c, post_process=False)
+        # dispatch/collect is the fetch boundary the dtype changes (and the
+        # last point where raw mask probs exist — detector_postprocess
+        # consumes them into polygons downstream)
+        outs[dtype] = runner.collect_batch(runner.dispatch_batch([image]))[0]
+
+    a, b = outs["float32"], outs["uint8"]
+    assert len(a) == len(b) > 0
+    np.testing.assert_array_equal(np.asarray(a.pred_boxes), np.asarray(b.pred_boxes))
+    ma = np.asarray(a.pred_masks, np.float32)
+    mb = np.asarray(b.pred_masks, np.float32)
+    assert mb.max() <= 1.0 and mb.min() >= 0.0  # dequantized by the runner
+    assert np.abs(ma - mb).max() <= 1.0 / 510 + 1e-6
+    # binary consumer: disagreement only inside the quantization band
+    disagree = (ma >= 0.5) != (mb >= 0.5)
+    assert np.all(np.abs(ma[disagree] - 0.5) <= 1.0 / 510 + 1e-6)
+
+
 def test_serve_data_parallel_matches_single_device():
     """TPU.SERVE_DATA_PARALLEL shards the eval batch over the (virtual
     8-CPU) local-device mesh; results must match the unsharded vmapped
