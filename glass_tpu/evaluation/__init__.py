@@ -6,6 +6,12 @@ from .text_eval import (
     include_in_dictionary,
 )
 from .evaluator import TextEvaluator, instances_to_eval, load_gt_zip
+from .rrc_validation import (
+    load_zip_file,
+    validate_lines_in_file,
+    validate_lines_in_file_gt,
+    validate_submission,
+)
 from .lexicon import (
     Lexicon,
     LexiconSet,

@@ -132,8 +132,30 @@ def instances_to_eval(
 # ---------------------------------------------------------------------------
 
 
-def load_gt_zip(path: str, sample_pattern: str = r"([0-9]+)") -> Dict[str, List[EvalInstance]]:
-    """Parse an RRC-format gt zip into per-image EvalInstances."""
+def load_gt_zip(
+    path: str,
+    sample_pattern: str = r"([0-9]+)",
+    strict: Optional[bool] = None,
+    line_format: Optional[str] = None,
+) -> Dict[str, List[EvalInstance]]:
+    """Parse an RRC-format gt zip into per-image EvalInstances.
+
+    ``strict`` (the default for external zips) rejects malformed lines with
+    the official harness's per-line errors — reference
+    ``rrc_evaluation_funcs.py:96-140`` ``validate_lines_in_file_gt`` via
+    ``text_eval_script.py:40-62`` ``validate_data``. ``strict=False`` keeps
+    the lenient best-effort parse for ad-hoc zips.
+    """
+    from .rrc_validation import (
+        get_tl_line_values_gt,
+        line_format_for,
+        validate_lines_in_file_gt,
+    )
+
+    if strict is None:
+        strict = True
+    if line_format is None:
+        line_format = line_format_for(path)
     out: Dict[str, List[EvalInstance]] = {}
     with zipfile.ZipFile(path) as zf:
         for name in zf.namelist():
@@ -141,28 +163,35 @@ def load_gt_zip(path: str, sample_pattern: str = r"([0-9]+)") -> Dict[str, List[
             if not m:
                 continue
             key = m.group(1)
-            lines = zf.read(name).decode("utf-8-sig").replace("\r", "").split("\n")
+            raw = zf.read(name)
+            if strict:
+                validate_lines_in_file_gt(name, raw, line_format)
+            lines = raw.decode("utf-8-sig").replace("\r", "").split("\n")
             insts = []
             for line in lines:
                 line = line.strip()
                 if not line:
                     continue
-                if "####" in line:
-                    coords_part, trans = line.split("####", 1)
-                    parts = [p for p in coords_part.strip().rstrip(",").split(",") if p]
+                if strict:
+                    pts, _, trans = get_tl_line_values_gt(line, line_format)
+                    coords = np.asarray(pts, np.float64)
                 else:
-                    parts = line.split(",")
-                    trans = parts[-1]
-                    parts = parts[:-1]
-                try:
-                    coords = np.array([float(p) for p in parts], np.float64)
-                except ValueError:
-                    coords = np.array(
-                        [float(p) for p in parts[:-1]], np.float64
-                    )
-                    trans = parts[-1] + "," + trans
-                if len(coords) < 6:
-                    continue
+                    if "####" in line:
+                        coords_part, trans = line.split("####", 1)
+                        parts = [p for p in coords_part.strip().rstrip(",").split(",") if p]
+                    else:
+                        parts = line.split(",")
+                        trans = parts[-1]
+                        parts = parts[:-1]
+                    try:
+                        coords = np.array([float(p) for p in parts], np.float64)
+                    except ValueError:
+                        coords = np.array(
+                            [float(p) for p in parts[:-1]], np.float64
+                        )
+                        trans = parts[-1] + "," + trans
+                    if len(coords) < 6:
+                        continue
                 insts.append(
                     EvalInstance(points=coords.reshape(-1, 2), transcription=trans)
                 )
@@ -201,7 +230,13 @@ class TextEvaluator:
         self._gts: Dict[str, List[EvalInstance]] = {}
         if gt_zip:
             pattern = r"gt_img_([0-9]+)" if "icdar" in dataset_name.lower() else r"([0-9]+)"
-            self._gt_from_zip = load_gt_zip(gt_zip, pattern)
+            from .rrc_validation import line_format_for
+
+            # dialect from the dataset name OR the zip path, whichever
+            # names totaltext/textocr (reference text_eval_script.py:46
+            # keys off the gt path alone)
+            fmt = line_format_for(dataset_name + " " + gt_zip)
+            self._gt_from_zip = load_gt_zip(gt_zip, pattern, line_format=fmt)
         else:
             self._gt_from_zip = None
 

@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CfgNode, get_cfg
-from ..models import GlassArch, init_glass_params, glass_inference_single
+from ..models import (
+    GlassArch,
+    emit_mask,
+    emit_text,
+    init_glass_params,
+    glass_inference_single,
+)
 from ..postprocess import build_post_processor, detector_postprocess
 from ..postprocess.post_processor import scale_rotated_np
 from ..structures import Instances
@@ -520,19 +526,15 @@ class GlassRunner:
             arch = self.arch
 
             def fn(params, img, bx):
-                from ..models.glass_rcnn import _emit_text
-
                 ctx = Ctx(train=False)
                 norm = preprocess(arch, img)
                 feats = backbone_features(ctx, arch, params, norm[None])
-                out = _emit_text(
+                out = emit_text(
                     arch,
                     recognize_single_image(ctx, arch, params, feats, norm, bx),
                 )
                 if arch.mask_on and arch.mask_inference:
-                    from ..models.glass_rcnn import _emit_mask
-
-                    out["mask_probs"] = _emit_mask(
+                    out["mask_probs"] = emit_mask(
                         arch,
                         mask_single_image(
                             ctx, arch, params, feats, bx,

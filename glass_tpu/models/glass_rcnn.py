@@ -700,15 +700,15 @@ def glass_inference_single(
             ctx, arch, params, feats, norm, det.boxes,
             raw_image=image if use_raw else None,
         )
-        out.update(_emit_text(arch, probs))
+        out.update(emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
-        out["mask_probs"] = _emit_mask(
+        out["mask_probs"] = emit_mask(
             arch, mask_single_image(ctx, arch, params, feats, det.boxes, det.classes)
         )
     return out
 
 
-def _emit_mask(arch: GlassArch, probs: jnp.ndarray) -> jnp.ndarray:
+def emit_mask(arch: GlassArch, probs: jnp.ndarray) -> jnp.ndarray:
     """Host-fetch representation of mask probabilities (TPU.MASK_FETCH_DTYPE).
 
     ``uint8`` quantizes probs to 1/255 steps on device — the consumer is a
@@ -716,10 +716,18 @@ def _emit_mask(arch: GlassArch, probs: jnp.ndarray) -> jnp.ndarray:
     so the 0.002 quantization error is inert; the runner dequantizes."""
     if arch.mask_fetch_dtype == "uint8":
         return jnp.round(probs * 255.0).astype(jnp.uint8)
+    if arch.mask_fetch_dtype not in ("float32", "float16"):
+        raise ValueError(
+            f"TPU.MASK_FETCH_DTYPE={arch.mask_fetch_dtype!r} is not supported: "
+            "expected one of 'float32', 'float16', 'uint8'"
+        )
     return probs.astype(arch.mask_fetch_dtype)
 
 
-def _emit_text(arch: GlassArch, probs: jnp.ndarray) -> dict:
+_emit_mask = emit_mask  # back-compat alias
+
+
+def emit_text(arch: GlassArch, probs: jnp.ndarray) -> dict:
     """Host-fetch representation of the recognizer output.
 
     The argmax decoding of the reference (``text_evaluator.
@@ -764,9 +772,9 @@ def glass_heads_stage(arch: GlassArch, params: dict, feats, norm: jnp.ndarray,
         probs = recognize_single_image(
             ctx, arch, params, feats, norm, boxes, raw_image=raw_image
         )
-        out.update(_emit_text(arch, probs))
+        out.update(emit_text(arch, probs))
     if arch.mask_on and arch.mask_inference:
-        out["mask_probs"] = _emit_mask(
+        out["mask_probs"] = emit_mask(
             arch,
             mask_single_image(
                 ctx, arch, params, feats, boxes,
