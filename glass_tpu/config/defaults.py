@@ -513,6 +513,15 @@ def get_default_config() -> CN:
     # the serving pod — the TPU answer to the reference's
     # one-process-per-GPU launch().
     _C.TPU.SERVE_DATA_PARALLEL = False
+    # Batched-serving realisation: "map" runs the hand-tuned single-image
+    # program sequentially per batch row inside one jit (lax.map) — each
+    # row keeps its REAL lax.cond branches (adaptive pooler split, dead
+    # block skipping) and single-row gather layouts. "vmap" vectorizes the
+    # batch dim instead, which flattens every cond to execute-both-branches
+    # select and re-tiles the gathers — measured 2.6x SLOWER end-to-end on
+    # v5e (b=4: 35.5 ms/img map vs 94 ms/img vmap, round-5 A/B). Outputs
+    # of "map" are bit-identical to the b=1 serving path by construction.
+    _C.TPU.SERVE_BATCH_MODE = "map"
     # Thread-pool width for per-image host post-processing inside
     # eval_batch_call (numpy releases the GIL). 0 = sequential.
     _C.TPU.POSTPROCESS_WORKERS = 0

@@ -265,26 +265,67 @@ class GlassRunner:
         hws[b:] = 1  # degenerate 1x1 content for padded rows
 
         key = (bp, bh, bw, padded.dtype.str)
+        fn = self.batch_model_fn(key)
+        out = fn(self.params, jnp.asarray(padded), jnp.asarray(hws))
+        return out, hws[:b]
+
+    def batch_model_fn(self, key):
+        """The compiled batched model program for a (b, h, w, dtype) shape
+        key — built per TPU.SERVE_BATCH_MODE / SERVE_DATA_PARALLEL and
+        cached. Public so the bench can time exactly the product program."""
         if key not in self._jit_batch_fns:
             arch = self.arch
-            vmapped = jax.vmap(
-                lambda p, img, hw: glass_inference_single(arch, p, img, hw),
-                in_axes=(None, 0, 0),
-            )
+            mode = str(getattr(self.cfg.TPU, "SERVE_BATCH_MODE", "map"))
+            if mode == "map":
+                # sequential lax.map of the single-image program: keeps its
+                # real lax.cond branches + single-row gather layouts, which
+                # vmap flattens/re-tiles (TPU.SERVE_BATCH_MODE; measured
+                # 2.6x faster at b=4 on v5e, PERF_NOTES round 5). Outputs
+                # are bit-identical to b=1 serving by construction.
+                def batched(p, imgs, hws_):
+                    return jax.lax.map(
+                        lambda t: glass_inference_single(arch, p, t[0], t[1]),
+                        (imgs, hws_),
+                    )
+            else:
+                batched = jax.vmap(
+                    lambda p, img, hw: glass_inference_single(arch, p, img, hw),
+                    in_axes=(None, 0, 0),
+                )
             if self._serve_mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
-                batch_sh = NamedSharding(self._serve_mesh, PartitionSpec("data"))
-                repl = NamedSharding(self._serve_mesh, PartitionSpec())
+                mesh = self._serve_mesh
+                batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+                repl = NamedSharding(mesh, PartitionSpec())
+                if mode == "map":
+                    # shard_map: each device lax.maps over its LOCAL batch
+                    # rows (a sharded-axis lax.map would gather the batch)
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    # check_vma=False: the model's scans (BiLSTM/decoder)
+                    # init their carries as unvarying zeros, which the VMA
+                    # type check rejects inside shard_map; replication
+                    # tracking isn't needed here (pure per-row map, no
+                    # collectives).
+                    fn = shard_map(
+                        batched,
+                        mesh=mesh,
+                        in_specs=(P(), P("data"), P("data")),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )
+                else:
+                    fn = batched
                 self._jit_batch_fns[key] = jax.jit(
-                    vmapped,
+                    fn,
                     in_shardings=(repl, batch_sh, batch_sh),
                     out_shardings=batch_sh,
                 )
             else:
-                self._jit_batch_fns[key] = jax.jit(vmapped)
-        out = self._jit_batch_fns[key](self.params, jnp.asarray(padded), jnp.asarray(hws))
-        return out, hws[:b]
+                self._jit_batch_fns[key] = jax.jit(batched)
+        return self._jit_batch_fns[key]
 
     def run_batch_on_resized(self, images: List[np.ndarray]) -> List[Instances]:
         """Batched inference over same-bucket resized images (one vmapped

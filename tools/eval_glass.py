@@ -47,6 +47,9 @@ def parse_args():
                    help="print the per-module parameter census "
                         "(reference eval_glass.py:147-181)")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--bench-log", default=None,
+                   help="write per-batch JSONL timing/RSS records here "
+                        "(tools/sustained_eval.py consumes them)")
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 runs batched (vmapped) inference per bucket")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -168,6 +171,18 @@ def main():
                 key = str(record.get("image_id", start))
                 evaluator.process(key, preds, gt_record=record)
             done = min(start + chunk, len(records))
+            if args.bench_log:
+                import resource
+
+                with open(args.bench_log, "a") as bf:
+                    bf.write(json.dumps({
+                        "dataset": dataset_name,
+                        "done": done,
+                        "elapsed_s": round(time.time() - t0, 4),
+                        "rss_mb": round(
+                            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+                        ),
+                    }) + "\n")
             if done % 50 < chunk:
                 rate = done / (time.time() - t0)
                 logger.info("%s: %d/%d images (%.2f img/s)", dataset_name, done, len(records), rate)

@@ -69,22 +69,13 @@ def make_batch(b, h, w, g_real, g_cap, max_word_len, seed=0):
     }
 
 
-def measure(
-    gts=24, batch=1, steps=10, size=1024, opts=(), with_flops=False,
-    ingraph=None, windows=1,
-):
-    """Run the pinned train-step benchmark; returns a result dict.
+def build(gts=24, batch=1, size=1024, opts=()):
+    """Build the pinned benchmark's step program + inputs WITHOUT timing.
 
-    with_flops: also read the XLA cost analysis of the compiled step
-    (analytic FLOPs) so callers can derive MFU = flops / time / peak.
-
-    ingraph: run the ``steps`` iterations as ONE jit program with the
-    params/opt_state feedback internal to the program (lax.fori_loop
-    carry) instead of a host-dispatched loop.  Default: on for TPU, off
-    for CPU.  Equivalent device work per step; immune to the tunnel
-    runtime's host round-trip of fed-back outputs (PERF_NOTES round 4 —
-    the dispatched loop measured 12-52 s/step of pure tunnel transfer on
-    an otherwise healthy chip).
+    Returns a dict with the compiled pieces so callers (the interleaved
+    stage/knockout tools) can warm every variant first and then time them
+    round-robin in one process — the methodology that removed the ±20 ms
+    cross-session tunnel variance in round 4 (PERF_NOTES).
     """
     from glass_tpu.config import get_cfg
 
@@ -119,6 +110,33 @@ def measure(
     data = make_batch(batch, size, size, gts, g_cap, arch.max_word_len)
     data = shard_batch(mesh, data)
     opt_state = tx.init(params)
+    return dict(
+        cfg=cfg, arch=arch, tcfg=tcfg, params=params, opt_state=opt_state,
+        data=data, step=step, mesh=mesh, tx=tx, batch=batch,
+    )
+
+
+def measure(
+    gts=24, batch=1, steps=10, size=1024, opts=(), with_flops=False,
+    ingraph=None, windows=1,
+):
+    """Run the pinned train-step benchmark; returns a result dict.
+
+    with_flops: also read the XLA cost analysis of the compiled step
+    (analytic FLOPs) so callers can derive MFU = flops / time / peak.
+
+    ingraph: run the ``steps`` iterations as ONE jit program with the
+    params/opt_state feedback internal to the program (lax.fori_loop
+    carry) instead of a host-dispatched loop.  Default: on for TPU, off
+    for CPU.  Equivalent device work per step; immune to the tunnel
+    runtime's host round-trip of fed-back outputs (PERF_NOTES round 4 —
+    the dispatched loop measured 12-52 s/step of pure tunnel transfer on
+    an otherwise healthy chip).
+    """
+    built = build(gts, batch, size, opts)
+    cfg, step = built["cfg"], built["step"]
+    params, opt_state, data = built["params"], built["opt_state"], built["data"]
+    mesh = built["mesh"]
     key = jax.random.PRNGKey(1)
 
     if ingraph is None:
