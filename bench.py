@@ -303,12 +303,20 @@ def _run():
         model_only_b4_ips = round(detail_b4_ips, 3)
         serve_mfu_b4 = None
         try:
-            analysis4 = (
-                batch_fn.lower(params, device_batch, hws_d).compile().cost_analysis()
-            )
-            if isinstance(analysis4, (list, tuple)):
-                analysis4 = analysis4[0]
-            fl4 = float(analysis4.get("flops", 0.0))
+            if str(cfg.TPU.SERVE_BATCH_MODE) == "map":
+                # lax.map runs the single-image program b times, but XLA
+                # cost analysis counts the loop body ONCE — use the
+                # single-image program's FLOPs x b (exact for map mode).
+                fl4 = serve_flops * b if serve_flops else 0.0
+            else:
+                analysis4 = (
+                    batch_fn.lower(params, device_batch, hws_d)
+                    .compile()
+                    .cost_analysis()
+                )
+                if isinstance(analysis4, (list, tuple)):
+                    analysis4 = analysis4[0]
+                fl4 = float(analysis4.get("flops", 0.0))
             if fl4 and jax.default_backend() != "cpu":
                 serve_mfu_b4 = round(
                     fl4 / (device_round_ms / 1e3) / V5E_PEAK_FLOPS, 4
