@@ -160,7 +160,6 @@ def test_train_rotated_then_eval_heldout(tmp_path, monkeypatch):
         "--datasets", str(ds_yaml),
         "--output", out_train,
         "--max-iter", str(MAX_ITER),
-        "opts",
         *COMMON_OPTS,
         "SOLVER.IMS_PER_BATCH", "4",
         "SOLVER.BASE_LR", "0.02",
@@ -192,7 +191,6 @@ def test_train_rotated_then_eval_heldout(tmp_path, monkeypatch):
         "--datasets", str(ds_yaml),
         "--model", ckpt,
         "--output", out_eval,
-        "opts",
         *COMMON_OPTS,
     ])
     eval_glass = importlib.import_module("eval_glass")

@@ -153,7 +153,6 @@ def test_train_then_eval_hmean(tmp_path, monkeypatch):
         "--datasets", str(ds_yaml),
         "--output", out_train,
         "--max-iter", str(MAX_ITER),
-        "opts",
         *COMMON_OPTS,
         "SOLVER.IMS_PER_BATCH", "4",
         "SOLVER.BASE_LR", "0.02",
@@ -181,7 +180,6 @@ def test_train_then_eval_hmean(tmp_path, monkeypatch):
         "--datasets", str(ds_yaml),
         "--model", ckpt,
         "--output", out_eval,
-        "opts",
         *COMMON_OPTS,
     ])
     eval_glass = importlib.import_module("eval_glass")
