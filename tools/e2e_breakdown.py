@@ -103,17 +103,13 @@ def measure(rounds=8, b=4):
     import jax
     import jax.numpy as jnp
 
-    from glass_tpu.models import glass_inference_single
-
     cfg, arch, params, runner = build()
     device_batch, hws_d, hws = staged_batch(runner, b)
 
-    batch_fn = jax.jit(
-        jax.vmap(
-            lambda p, img, hw_: glass_inference_single(arch, p, img, hw_),
-            in_axes=(None, 0, 0),
-        )
-    )
+    # PRODUCT batched program (runner.batch_model_fn — lax.map of the
+    # single-image program per TPU.SERVE_BATCH_MODE), same as bench.py.
+    bh, bw = device_batch.shape[1:3]
+    batch_fn = runner.batch_model_fn((b, bh, bw, device_batch.dtype.str))
 
     print("compiling b=4 batch program...", file=sys.stderr, flush=True)
     out = batch_fn(params, device_batch, hws_d)  # compile + warm
@@ -156,6 +152,9 @@ def measure(rounds=8, b=4):
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
         flops = float(analysis.get("flops", 0.0))
+        # lax.map counts the body once in cost analysis (bench.py:306-310).
+        if str(cfg.TPU.SERVE_BATCH_MODE) == "map":
+            flops *= b
         res["serve_flops_b4"] = flops
         if jax.default_backend() != "cpu":
             res["serve_model_mfu_b4"] = round(
