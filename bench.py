@@ -215,29 +215,38 @@ def _run():
     hws_d = jnp.asarray(hws)
     batch_fn = runner.batch_model_fn((b, bh, bw, padded.dtype.str))
 
-    def postprocess(dispatched):
-        insts = runner.collect_batch(dispatched)
+    def host_post(insts):
         for pr in insts:
             pr = runner._model_postprocess(pr, 720, 1280)
             runner.post_processor(pr)
         return insts
 
+    def postprocess(dispatched):
+        return host_post(runner.collect_batch(dispatched))
+
     postprocess((batch_fn(params, device_batch, hws_d), hws))  # compile
-    # Same 1-deep software pipeline as eval_batch_call: round k+1's model
-    # call is enqueued before round k's fetch + host post-processing.
-    # Best of 3 windows, same rationale as model-only above.
+    # Same 3-stage software pipeline as eval_batch_call (TPU.ASYNC_FETCH):
+    # device compute (async dispatch) || fetch (worker thread, GIL-free
+    # transfer) || host post-processing (main thread). Best of 3 windows,
+    # same rationale as model-only above.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     e2e_windows = []
-    for _ in range(3):
-        n_rounds = 8
-        start = time.perf_counter()
-        inflight = batch_fn(params, device_batch, hws_d)
-        for _ in range(n_rounds - 1):
-            nxt = batch_fn(params, device_batch, hws_d)
-            postprocess((inflight, hws))
-            inflight = nxt
-        postprocess((inflight, hws))
-        dt = time.perf_counter() - start
-        e2e_windows.append(n_rounds * b / dt)
+    with ThreadPoolExecutor(1) as fpool:
+        for _ in range(3):
+            n_rounds = 8
+            pending = deque()
+            start = time.perf_counter()
+            for _ in range(n_rounds):
+                d = batch_fn(params, device_batch, hws_d)
+                pending.append(fpool.submit(runner.collect_batch, (d, hws)))
+                if len(pending) > 2:
+                    host_post(pending.popleft().result())
+            while pending:
+                host_post(pending.popleft().result())
+            dt = time.perf_counter() - start
+            e2e_windows.append(n_rounds * b / dt)
     e2e_device_resident_b4_ips = max(e2e_windows)
 
     # ---- e2e decomposition (round-5 verdict item 1): device / fetch /

@@ -504,6 +504,10 @@ def get_default_config() -> CN:
     # identical to K=1 (same per-iteration PRNG stream; checkpoint/eval/
     # vis land on their exact iterations). 1 = dispatch per step.
     _C.TPU.TRAIN_LOOP_STEPS = 1
+    # Restrict the training data mesh to the first N local devices
+    # (0 = all). IMS_PER_BATCH must divide by the mesh size; this knob
+    # lets small-batch runs train on a machine with more devices.
+    _C.TPU.TRAIN_DEVICES = 0
     # Box/mask pooler kernel backend: "xla" (packed-pyramid gather,
     # default) or "pallas" (DMA-tile kernel — bit-exact alternative,
     # measured slower on v5e; see ops/pallas_roi_align.py).
@@ -525,6 +529,10 @@ def get_default_config() -> CN:
     # Thread-pool width for per-image host post-processing inside
     # eval_batch_call (numpy releases the GIL). 0 = sequential.
     _C.TPU.POSTPROCESS_WORKERS = 0
+    # eval_batch_call pipeline: fetch finished batches on a worker thread
+    # (device->host copies release the GIL) so the transfer overlaps host
+    # post-processing of the previous chunk. False = 1-deep pipeline.
+    _C.TPU.ASYNC_FETCH = True
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     # Raw-image crop pooler sampling grid (static!). The reference uses a
     # fixed 2x2 grid per output bin; at 128x128 output the bins of typical

@@ -452,10 +452,35 @@ class GlassRunner:
         order = sorted(
             range(len(prepped)), key=lambda i: self._pick_bucket(*prepped[i][0].shape[:2])
         )
-        # One-deep software pipeline: the next batch's upload + model call is
+        # Software pipeline: the next batch's upload + model call is
         # enqueued (async JAX dispatch) before this batch's host
         # post-processing runs, overlapping device and host work.
         chunks = [order[s : s + batch_size] for s in range(0, len(order), batch_size)]
+        if bool(getattr(self.cfg.TPU, "ASYNC_FETCH", True)) and len(chunks) > 1:
+            # Three-stage pipeline: device compute (async dispatch) ||
+            # device->host fetch (worker thread — the transfer releases the
+            # GIL, so it rides under host post-processing) || host
+            # post-processing (main thread).  Bounded to 2 chunks in
+            # flight.  Round-5 e2e split: fetch ~12 ms/img + host ~30
+            # ms/img serialized on one thread was the b=4 binding path;
+            # overlapping them makes the pipeline device-bound.
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as fpool:
+                pending = deque()
+                for idxs in chunks:
+                    dispatched = self.dispatch_batch([prepped[i][0] for i in idxs])
+                    pending.append(
+                        (idxs, fpool.submit(self.collect_batch, dispatched))
+                    )
+                    if len(pending) > 2:
+                        idxs0, fut = pending.popleft()
+                        self._postprocess_chunk(idxs0, fut.result(), prepped, results)
+                while pending:
+                    idxs0, fut = pending.popleft()
+                    self._postprocess_chunk(idxs0, fut.result(), prepped, results)
+            return results
         inflight = None
         for ci, idxs in enumerate(chunks):
             dispatched = self.dispatch_batch([prepped[i][0] for i in idxs])
@@ -468,8 +493,9 @@ class GlassRunner:
 
     def _finish_eval_chunk(self, inflight, prepped, results) -> None:
         idxs, dispatched = inflight
-        preds = self.collect_batch(dispatched)
+        self._postprocess_chunk(idxs, self.collect_batch(dispatched), prepped, results)
 
+    def _postprocess_chunk(self, idxs, preds, prepped, results) -> None:
         def one(i, pr):
             oh, ow = prepped[i][1]
             pr = self._model_postprocess(pr, oh, ow)

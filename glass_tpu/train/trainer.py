@@ -36,7 +36,21 @@ class Trainer:
         self.cfg = cfg
         self.arch = GlassArch.from_config(cfg)
         self.tcfg = TrainConfig.from_config(cfg)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # TPU.TRAIN_DEVICES > 0 restricts the data mesh to the first N
+            # local devices (0 = all).  Lets small-batch runs (and the CPU
+            # test tier's forced 8-device host platform) train with
+            # IMS_PER_BATCH below the machine's device count.
+            n = int(getattr(cfg.TPU, "TRAIN_DEVICES", 0) or 0)
+            mesh = make_mesh(jax.devices()[:n] if n > 0 else None)
+        self.mesh = mesh
+        ndev = int(self.mesh.devices.size)
+        if cfg.SOLVER.IMS_PER_BATCH % ndev != 0:
+            raise ValueError(
+                f"SOLVER.IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH} must be "
+                f"divisible by the data-mesh size ({ndev} devices); set "
+                "TPU.TRAIN_DEVICES to train on a subset of devices"
+            )
         self.out_dir = cfg.OUTPUT_DIR
         os.makedirs(self.out_dir, exist_ok=True)
         # d2 JSONWriter semantics: rank 0 streams scalars to metrics.json.

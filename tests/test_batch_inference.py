@@ -243,3 +243,44 @@ def test_postprocess_workers_match_sequential():
             np.testing.assert_array_equal(
                 np.asarray(s.scores), np.asarray(p.scores)
             )
+
+
+def test_async_fetch_matches_sequential():
+    """TPU.ASYNC_FETCH moves the device->host fetch to a worker thread
+    (3-stage pipeline); results must equal the 1-deep sequential pipeline
+    exactly — same chunks, same programs, only the fetch thread differs."""
+    cfg = get_cfg(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "glass_finetune_icdar15.yaml")
+    )
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.TPU.IMAGE_BUCKETS = [[96, 96]]
+    cfg.MODEL.ROI_RECOGNIZER_HEAD.MAX_WORD_LENGTH = 4
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.TPU.ASYNC_FETCH = False
+
+    runner = GlassRunner(model_path=None, cfg=cfg)
+    rng = np.random.RandomState(7)
+    # 6 images / batch_size 2 -> 3 chunks: exercises the bounded (2-deep)
+    # fetch queue including the drain loop
+    images = [(rng.rand(96, 96, 3) * 255).astype(np.uint8) for _ in range(6)]
+
+    seq = runner.eval_batch_call(images, batch_size=2)
+    runner.cfg.TPU.ASYNC_FETCH = True
+    ovl = runner.eval_batch_call(images, batch_size=2)
+    assert len(seq) == len(ovl) == 6
+    for s, p in zip(seq, ovl):
+        assert len(s) == len(p)
+        if len(s):
+            np.testing.assert_array_equal(
+                np.asarray(s.pred_boxes), np.asarray(p.pred_boxes)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(s.scores), np.asarray(p.scores)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(s.pred_text_ids), np.asarray(p.pred_text_ids)
+            )

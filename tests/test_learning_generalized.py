@@ -113,6 +113,9 @@ def make_split(root: str, split: str, n_images: int, seed: int, orientations):
 
 COMMON_OPTS = [
     "SEED", "3",
+    # the CPU test tier forces an 8-device host platform (conftest); train
+    # b=4 on ONE device to reproduce the recorded proto trajectory exactly
+    "TPU.TRAIN_DEVICES", "1",
     "TPU.COMPUTE_DTYPE", "float32",
     "TPU.MATCH_BACKEND", "scan",
     "TPU.RPN_SAMPLER", "axis",

@@ -108,6 +108,9 @@ def make_dataset(root: str, split: str, n_images: int, seed: int) -> None:
 # 1-core CPU).
 COMMON_OPTS = [
     "SEED", "3",
+    # the CPU test tier forces an 8-device host platform (conftest); train
+    # b=4 on ONE device to reproduce the recorded proto trajectory exactly
+    "TPU.TRAIN_DEVICES", "1",
     "TPU.COMPUTE_DTYPE", "float32",
     "TPU.MATCH_BACKEND", "scan",
     "TPU.RPN_SAMPLER", "axis",

@@ -223,6 +223,28 @@ def measure(rounds=8, b=4):
     res["pipelined_ms_per_round"] = round(pipelined_ms, 2)
     res["e2e_ips"] = round(b / (pipelined_ms / 1e3), 3)
 
+    # ---- 3-stage pipeline (TPU.ASYNC_FETCH): fetch on a worker thread -----
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    def pipeline_async_round(fpool):
+        pending = deque()
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            d = batch_fn(params, device_batch, hws_d)
+            pending.append(fpool.submit(jax.device_get, d))
+            if len(pending) > 2:
+                postprocess(pending.popleft().result())
+        while pending:
+            postprocess(pending.popleft().result())
+        return (time.perf_counter() - t0) / rounds * 1e3
+
+    print("timing async-fetch pipelined loop...", file=sys.stderr, flush=True)
+    with ThreadPoolExecutor(1) as fpool:
+        pipe_a = [pipeline_async_round(fpool) for _ in range(3)]
+    res["pipelined_async_ms_per_round"] = round(min(pipe_a), 2)
+    res["e2e_async_ips"] = round(b / (min(pipe_a) / 1e3), 3)
+
     # ---- attribution -------------------------------------------------------
     host_side = res["fetch_ms_per_round"] + res["host_ms_per_round"]
     res["perfect_overlap_ms"] = round(max(device_round_ms, host_side), 2)

@@ -149,12 +149,85 @@ def standalone_stages(built, trials):
     return bb_fwd_ms, bb_fwd_flops, min(t)
 
 
+def run_freeze_sweep(variants, args):
+    """Interleaved timing of the full train step at FREEZE_AT=0..5.
+
+    freeze_at=k−1 minus freeze_at=k is the in-situ marginal cost of
+    training stage k (its backward + its train-mode BN), measured inside
+    the real step — the number a layout/dtype lever on that stage can
+    actually recover.
+    """
+    print("== preparing freeze-sweep variants ==", flush=True)
+    prepped = {}
+    for name, opts in variants:
+        prepped[name] = _prep_variant(opts, args.steps)
+        print(f"  compiled {name}", flush=True)
+    times = {name: [] for name, _ in variants}
+    for trial in range(args.trials):
+        for name, _ in variants:
+            times[name].append(_time_variant(prepped[name], args.steps))
+        print(
+            f"  trial {trial}: "
+            + "  ".join(f"{n}={times[n][-1]:.1f}ms" for n, _ in variants),
+            flush=True,
+        )
+    med = {n: sorted(ts)[len(ts) // 2] for n, ts in times.items()}
+    flops = {n: prepped[n]["flops"] for n, _ in variants}
+    stage_names = ["stem", "res2", "res3", "res4", "res5"]
+    rows = []
+    print("\n== in-situ backbone-stage marginal train cost ==")
+    for k in range(6):
+        name = f"freeze_at={k}"
+        r = {"variant": name, "ms": round(med[name], 2),
+             "gflops": round((flops[name] or 0) / 1e9, 1)}
+        if k > 0:
+            prev = f"freeze_at={k - 1}"
+            dms = med[prev] - med[name]
+            dfl = (flops[prev] - flops[name]) if (flops[prev] and flops[name]) else None
+            mfu = (
+                dfl / (dms / 1e3) / V5E_PEAK_FLOPS
+                if (dfl and dms > 0 and jax.default_backend() != "cpu")
+                else None
+            )
+            r["stage"] = stage_names[k - 1]
+            r["delta_ms"] = round(dms, 2)
+            r["delta_gflops"] = round(dfl / 1e9, 1) if dfl else None
+            r["delta_mfu"] = round(mfu, 4) if mfu else None
+            print(
+                f"{name:12s} {r['ms']:8.2f} ms   Δ({stage_names[k-1]:5s}) "
+                f"{dms:7.2f} ms  {r['delta_gflops'] or 0:8.1f} GFLOP  "
+                f"MFU {100 * (mfu or 0):5.1f}%",
+                flush=True,
+            )
+        else:
+            print(f"{name:12s} {r['ms']:8.2f} ms", flush=True)
+        rows.append(r)
+    print(json.dumps({"freeze_sweep": rows}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--extra-opts", nargs="*", default=[])
+    ap.add_argument(
+        "--freeze-sweep", action="store_true",
+        help="sweep MODEL.BACKBONE.FREEZE_AT 0..5 instead of the branch "
+        "knockouts: successive deltas localize the in-situ backbone "
+        "backward per stage (caveat: freezing also switches those stages "
+        "to FrozenBN + the plain-conv stem, so each delta = bwd removal "
+        "+ BN-stat removal for that stage)",
+    )
     args = ap.parse_args()
+
+    if args.freeze_sweep:
+        variants = [
+            (f"freeze_at={k}", list(args.extra_opts)
+             + ["MODEL.BACKBONE.FREEZE_AT", str(k)])
+            for k in range(6)
+        ]
+        run_freeze_sweep(variants, args)
+        return
 
     variants = [
         (name, list(args.extra_opts) + opt) for name, opt in VARIANTS
