@@ -584,6 +584,11 @@ def get_default_config() -> CN:
     # Rematerialize the backbone in the training backward pass (trade ~1.3x
     # FLOPs for activation memory — enables larger per-chip batches).
     _C.TPU.REMAT_BACKBONE = False
+    # Training-path stem conv formulation: "s2d4" | "s2d" | "plain".
+    # Bit-equivalent math; s2d4 is the measured fwd+dW winner on v5e
+    # (6.5 vs 11.1 vs 15.0 ms at 1024^2; records/stem_variants2_r5.log,
+    # in-situ A/B in PERF_NOTES round 5).
+    _C.TPU.STEM_BACKEND = "s2d4"
     # Two-stage inference: detect first, then run the recognizer at the
     # smallest word-count bucket covering the actual detections.  Saves
     # recognizer work on sparse images at the cost of one host round-trip

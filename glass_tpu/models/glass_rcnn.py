@@ -132,6 +132,11 @@ class GlassArch:
     # Execution
     compute_dtype: str = "float32"
     remat_backbone: bool = False
+    # Training-path stem conv formulation: "s2d4" (7x7/2 over a 4x4
+    # space-to-depth grid — MXU-shaped contraction, measured 6.5 vs
+    # 11.1 ms fwd+dW; records/stem_variants2_r5.log), "s2d" (2x2 grid),
+    # or "plain" (direct conv). All bit-equivalent math.
+    stem_backend: str = "s2d4"
     # Box/mask pooler kernel: "xla" (packed-pyramid gather, default) or
     # "pallas" (DMA-tile kernel, ops/pallas_roi_align.py — bit-exact,
     # measured slower on v5e; kept as the selectable alternative backend).
@@ -267,6 +272,7 @@ class GlassArch:
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            stem_backend=str(getattr(cfg.TPU, "STEM_BACKEND", "s2d4")),
             roi_align_backend=cfg.TPU.ROI_ALIGN_BACKEND,
             text_emit=cfg.TPU.TEXT_EMIT,
             mask_fetch_dtype=cfg.TPU.MASK_FETCH_DTYPE,
@@ -331,7 +337,8 @@ def backbone_features(
 ) -> Dict[str, jnp.ndarray]:
     """images (N, H, W, 3) normalized -> {p2..p6} NHWC."""
     bu = resnet50_apply(
-        ctx, params["backbone"]["bottom_up"], images, freeze_at=arch.freeze_at
+        ctx, params["backbone"]["bottom_up"], images, freeze_at=arch.freeze_at,
+        stem_backend=arch.stem_backend,
     )
     return fpn_apply(ctx, params["backbone"], bu)
 

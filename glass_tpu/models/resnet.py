@@ -94,6 +94,61 @@ def _stem_conv_s2d(ctx: Ctx, x: jnp.ndarray, params: dict, path: str):
     return jnp.maximum(out, 0)
 
 
+def _s2d4_selection():
+    """S[B, r, s, j] = 1 iff tap j of the 7-tap kernel lands at block B,
+    sub-position r for output phase s: j == 4B + r - 1 - 2s."""
+    import numpy as np
+
+    B = np.arange(3)[:, None, None, None]
+    r = np.arange(4)[None, :, None, None]
+    s = np.arange(2)[None, None, :, None]
+    j = np.arange(7)[None, None, None, :]
+    return (j == 4 * B + r - 1 - 2 * s).astype(np.float32)
+
+
+def _stem_conv_s2d4(ctx: Ctx, x: jnp.ndarray, params: dict, path: str):
+    """The 7x7/2 stem conv over a 4x4 space-to-depth grid.
+
+    ``y[2m+s] = sum_j x[4m+2s-3+j] w[j]`` reads blocks m-1..m+1 of the
+    4-strided image for both output phases s in {0,1}, so the conv
+    becomes kernel-3 stride-1 over 16*Cin block channels producing
+    4*Cout phase channels, followed by depth-to-space(2).  Exact math
+    (float-ULP vs the direct conv, tests/test_s2d_stem.py); the
+    contraction per position is K=3*3*16*Cin=432 -> N=4*Cout=256 — four
+    full MXU result tiles where the 2x2 variant leaves half of one
+    (K=768 -> N=64).  Measured fwd+dW at 1024^2 on v5e: 6.5 ms vs the
+    2x2 variant's 11.1 ms (records/stem_variants2_r5.log).  Requires
+    H, W divisible by 4 (resnet50_apply falls back to the 2x2 variant
+    otherwise — train buckets are multiples of 32).
+    """
+    kh, kw, cin, cout = params["weight"].shape
+    assert (kh, kw) == (7, 7), "s2d4 stem reparametrization assumes 7x7/2"
+    n, h, w, _ = x.shape
+    wt = params["weight"]
+    S = jnp.asarray(_s2d4_selection(), wt.dtype)  # (3,4,2,7)
+    W4 = jnp.einsum("arsj,bqtk,jkio->abrqisto", S, S, wt)
+    W4 = W4.reshape(3, 3, 16 * cin, 4 * cout)
+    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    hb, wb = (h + 8) // 4, (w + 8) // 4
+    X = (
+        xp.reshape(n, hb, 4, wb, 4, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, hb, wb, 16 * cin)
+    )
+    out = L.conv2d(X, W4, None, stride=1, padding=0)  # (n, h/4, w/4, 4*cout)
+    m, nn = out.shape[1], out.shape[2]
+    out = (
+        out.reshape(n, m, nn, 2, 2, cout)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, 2 * m, 2 * nn, cout)
+    )
+    if params.get("bias") is not None:
+        out = out + params["bias"].astype(out.dtype)
+    if "norm" in params:
+        out = apply_bn(ctx, out, params["norm"], path + ".norm")
+    return jnp.maximum(out, 0)
+
+
 def resnet50_apply(
     ctx: Ctx,
     params: dict,
@@ -101,6 +156,7 @@ def resnet50_apply(
     out_features: List[str] = ("res2", "res3", "res4", "res5"),
     path: str = "backbone.bottom_up",
     freeze_at: int = 0,
+    stem_backend: str = "s2d4",
 ) -> Dict[str, jnp.ndarray]:
     """x: (N, H, W, 3) normalized image -> dict of stage features.
 
@@ -118,8 +174,13 @@ def resnet50_apply(
             return Ctx(train=False)
         return ctx
 
-    if ctx.train and freeze_at < 1:
-        out = _stem_conv_s2d(
+    if ctx.train and freeze_at < 1 and stem_backend != "plain":
+        n, h, w, _ = x.shape
+        if stem_backend == "s2d4" and h % 4 == 0 and w % 4 == 0:
+            stem_fn = _stem_conv_s2d4
+        else:
+            stem_fn = _stem_conv_s2d
+        out = stem_fn(
             stage_ctx(1), x, params["stem"]["conv1"], f"{path}.stem.conv1"
         )
     else:

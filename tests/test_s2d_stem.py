@@ -69,3 +69,54 @@ def test_train_vs_eval_backbone_stem_consistency():
     # res stages use batch stats in train; compare only shapes there, but
     # the stem path (frozen both ways) feeds both identically.
     assert f_train["res2"].shape == f_eval["res2"].shape
+
+
+def test_s2d4_stem_matches_direct():
+    from glass_tpu.models.resnet import _stem_conv_s2d4
+
+    rng = np.random.RandomState(3)
+    params = init_resnet50(jax.random.PRNGKey(3))["stem"]["conv1"]
+    for h, w in [(64, 96), (64, 64), (128, 96)]:
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        direct = _direct(params, x)
+        s2d4 = _stem_conv_s2d4(Ctx(train=True), x, params, "stem.conv1")
+        assert s2d4.shape == direct.shape
+        np.testing.assert_allclose(
+            np.asarray(s2d4), np.asarray(direct), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_s2d4_stem_weight_grad_matches_direct():
+    from glass_tpu.models.resnet import _stem_conv_s2d4
+
+    rng = np.random.RandomState(4)
+    params = init_resnet50(jax.random.PRNGKey(4))["stem"]["conv1"]
+    x = jnp.asarray(rng.randn(1, 48, 64, 3).astype(np.float32))
+
+    def loss_direct(w):
+        p = dict(params, weight=w)
+        return jnp.sum(_direct(p, x) ** 2)
+
+    def loss_s2d4(w):
+        p = dict(params, weight=w)
+        return jnp.sum(_stem_conv_s2d4(Ctx(train=True), x, p, "s") ** 2)
+
+    g_d = jax.grad(loss_direct)(params["weight"])
+    g_s = jax.grad(loss_s2d4)(params["weight"])
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_d), atol=2e-3, rtol=1e-4
+    )
+
+
+def test_stem_backend_fallback_odd_size():
+    """stem_backend=s2d4 with H or W not divisible by 4 must fall back to
+    the 2x2 variant and still match plain-conv math end to end."""
+    rng = np.random.RandomState(5)
+    params = init_resnet50(jax.random.PRNGKey(5))
+    x = jnp.asarray(rng.randn(1, 62, 96, 3).astype(np.float32))
+    f4 = resnet50_apply(Ctx(train=True), params, x, stem_backend="s2d4")
+    f2 = resnet50_apply(Ctx(train=True), params, x, stem_backend="s2d")
+    for k in f4:
+        np.testing.assert_allclose(
+            np.asarray(f4[k]), np.asarray(f2[k]), atol=1e-4, rtol=1e-4
+        )

@@ -211,6 +211,11 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--extra-opts", nargs="*", default=[])
     ap.add_argument(
+        "--ab", default=None, metavar="OPTS",
+        help='generic interleaved A/B of the full train step: base config '
+        'vs base + these opts (e.g. --ab "TPU.STEM_BACKEND s2d")',
+    )
+    ap.add_argument(
         "--freeze-sweep", action="store_true",
         help="sweep MODEL.BACKBONE.FREEZE_AT 0..5 instead of the branch "
         "knockouts: successive deltas localize the in-situ backbone "
@@ -219,6 +224,29 @@ def main():
         "+ BN-stat removal for that stage)",
     )
     args = ap.parse_args()
+
+    if args.ab:
+        variants = [
+            ("base", list(args.extra_opts)),
+            (args.ab, list(args.extra_opts) + args.ab.split()),
+        ]
+        print("== preparing A/B variants ==", flush=True)
+        prepped = {n: _prep_variant(o, args.steps) for n, o in variants}
+        for n in prepped:
+            print(f"  compiled {n}", flush=True)
+        times = {n: [] for n, _ in variants}
+        for trial in range(args.trials):
+            for n, _ in variants:
+                times[n].append(_time_variant(prepped[n], args.steps))
+            print(
+                f"  trial {trial}: "
+                + "  ".join(f"{n}={times[n][-1]:.2f}ms" for n, _ in variants),
+                flush=True,
+            )
+        med = {n: sorted(ts)[len(ts) // 2] for n, ts in times.items()}
+        print(json.dumps({"ab": {n: round(v, 2) for n, v in med.items()},
+                          "delta_ms": round(med[args.ab] - med["base"], 2)}))
+        return
 
     if args.freeze_sweep:
         variants = [
