@@ -189,3 +189,19 @@ def test_precise_bn_replaces_running_stats(tmp_path):
     after = np.asarray(node_of(trainer.params)["running_mean"])
     assert not np.allclose(after, before)
     np.testing.assert_allclose(after, want, rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_rejects_indivisible_batch(tmp_path):
+    """IMS_PER_BATCH not divisible by the data-mesh size must raise the
+    descriptive error (not a deep pjit sharding failure), and
+    TPU.TRAIN_DEVICES restricts the mesh so the same batch is accepted."""
+    import pytest
+
+    cfg = get_cfg(os.path.join(os.path.dirname(__file__), "..", "configs",
+                               "glass_finetune_icdar15.yaml"))
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.SOLVER.IMS_PER_BATCH = 3  # 8 virtual devices in the test tier
+    from glass_tpu.train import Trainer
+
+    with pytest.raises(ValueError, match="divisible by the data-mesh size"):
+        Trainer(cfg)
