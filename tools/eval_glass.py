@@ -63,9 +63,12 @@ def setup(args):
     cfg = get_cfg(args.config)
     if args.datasets:
         merge_from_dataset_config(cfg, args.datasets)
-    if args.opts:
-        cfg.merge_from_list(args.opts)
-    # Reference eval-time overrides (tools/eval_glass.py:82-114).
+    # Reference eval-time overrides (tools/eval_glass.py:82-114).  NOTE:
+    # the reference merges ``args.opts`` AFTER this hardwired block
+    # (eval_glass.py:117), so explicit CLI opts WIN over the protocol
+    # defaults — e.g. a small-resolution eval can set INPUT.MIN_SIZE_TEST.
+    # (Round-5 regression fix: opts were previously merged first and
+    # silently lost to these overrides.)
     cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.35
     cfg.INFERENCE_TH_TEST = 0.3
     cfg.INFERENCE_DETECTION_TH_TEST = 0.65
@@ -75,6 +78,8 @@ def setup(args):
     cfg.INPUT.MAX_SIZE_TEST = 1600
     cfg.MODEL.ROI_MASK_HEAD.MASK_INFERENCE = True
     cfg.MODEL.ROI_ORIENTATION_HEAD.APPLY_TO_BOXES = False
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     # Lexicon protocol flags -> config keys (reference eval_glass.py:101-104).
     if args.lexicon_type is not None:
         cfg.TEST.LEXICON_TYPE = args.lexicon_type
