@@ -185,9 +185,14 @@ def test_train_rotated_then_eval_heldout(tmp_path, monkeypatch):
     assert os.path.isdir(ckpt), os.listdir(out_train)
 
     # ---- eval (real CLI) on the HELD-OUT split -----------------------------
-    # eval-time hard overrides apply orientation-off + MIN_SIZE_TEST=1000
-    # (reference tools/eval_glass.py:97-108) — the same protocol the
-    # axis-aligned learning proof ran under.
+    # The CLI's hardwired protocol block disables the orientation head
+    # (reference tools/eval_glass.py:106-108 — the official benchmarks are
+    # horizontal), which by construction caps rotated-word E2E at ~25%
+    # (period-180 box regression cannot distinguish a 180-rotated word;
+    # measured: held-out det 1.0 / E2E 0.25 with the head off,
+    # records/learning_generalized_tpu_r5.log).  Explicit opts win over
+    # the block (reference merge order, eval_glass.py:117), so this test
+    # re-enables the head — the GLASS mechanism under test.
     monkeypatch.setattr(sys, "argv", [
         "eval_glass.py",
         "--config", cfg_path,
@@ -195,6 +200,8 @@ def test_train_rotated_then_eval_heldout(tmp_path, monkeypatch):
         "--model", ckpt,
         "--output", out_eval,
         *COMMON_OPTS,
+        "MODEL.ORIENTATION_ON", "True",
+        "MODEL.ROI_ORIENTATION_HEAD.APPLY_TO_BOXES", "True",
     ])
     eval_glass = importlib.import_module("eval_glass")
     eval_glass.main()
@@ -232,7 +239,8 @@ def test_train_rotated_then_eval_heldout(tmp_path, monkeypatch):
         j = int(np.argmax(ious[0]))
         if ious[0, j] >= 0.5:
             n_match += 1
-            if int(np.asarray(preds.orientations)[j]) == meta["k"]:
+            # orientations are the head's 4-way logits per detection
+            if int(np.argmax(np.asarray(preds.orientations)[j])) == meta["k"]:
                 n_orient_ok += 1
     orient_acc = n_orient_ok / max(n_match, 1)
     print(
